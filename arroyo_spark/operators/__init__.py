@@ -1,0 +1,11 @@
+from arroyo_spark.operators.map import run_task, run_task_pandas  # noqa: F401
+from arroyo_spark.operators.filter import filter_step  # noqa: F401
+from arroyo_spark.operators.explode import unfold, unbatch  # noqa: F401
+from arroyo_spark.operators.reduce import (  # noqa: F401
+    reduce_window,
+    sliding_window,
+    session_reduce_batch,
+    batch_step,
+    count_reduce,
+    fold_groups,
+)

@@ -1,0 +1,443 @@
+"""Named queries for the driver's correctness gate + bench.
+
+Each query has a Spark implementation (built on arroyo_spark.operators) and
+a DuckDB-dialect oracle SQL over the same parquet tables. Column names are
+aligned 1:1 between both sides; timestamps are emitted as epoch seconds and
+floating sums as decimals so the value-hash comparison is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arroyo_spark.functions import (
+    fingerprint64,
+    lang_id,
+    normalize_text,
+    quality_score,
+    token_count,
+    word_tokens,
+)
+from arroyo_spark.operators import (
+    batch_step,
+    count_reduce,
+    filter_step,
+    reduce_window,
+    run_task,
+    session_reduce_batch,
+    sliding_window,
+    unfold,
+)
+from arroyo_spark.sources import load_table, transcripts_from_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL fragment shared by every transcript query's oracle (DuckDB dialect —
+# identical semantics to arroyo_spark.sources.transcripts_from_events).
+TRANSCRIPTS_CTE = """
+WITH transcripts AS (
+  SELECT
+    concat('conv-', lpad(cast(user_id AS varchar), 8, '0')) AS conv_id,
+    cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+    CASE event_type
+      WHEN 'view' THEN 'user' WHEN 'click' THEN 'assistant'
+      WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'system'
+      ELSE 'tool' END AS role,
+    concat(event_type, ' ', props) AS text,
+    CASE WHEN event_type = 'error' THEN
+      CASE cast(event_id % 4 AS int)
+        WHEN 0 THEN 'search' WHEN 1 THEN 'python' WHEN 2 THEN 'bash' ELSE 'sql' END
+    END AS tool,
+    ts
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: Reduce -> tumbling-window per-conversation turn aggregation
+# (arroyo Reduce #5 over the transcript stream)
+# ---------------------------------------------------------------------------
+@query(
+    "reduce_tumbling",
+    TRANSCRIPTS_CTE
+    + """
+SELECT
+  conv_id,
+  cast(epoch(time_bucket(INTERVAL '1 hour', ts)) AS bigint) AS win_start,
+  count(*) AS n_turns,
+  count(DISTINCT tool) AS n_tools,
+  max(turn_idx) AS max_turn_idx,
+  sum(length(text)) AS total_chars
+FROM transcripts
+GROUP BY 1, 2
+""",
+)
+def q_reduce_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    out = reduce_window(
+        t,
+        "1 hour",
+        aggs={
+            "n_turns": F.count(F.lit(1)),
+            "n_tools": F.countDistinct("tool"),
+            "max_turn_idx": F.max("turn_idx"),
+            "total_chars": F.sum(F.length("text")),
+        },
+        keys=["conv_id"],
+    )
+    return out.select(
+        "conv_id",
+        F.unix_timestamp(F.col("win.start")).alias("win_start"),
+        "n_turns",
+        "n_tools",
+        "max_turn_idx",
+        "total_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (Reduce with overlapping windows)
+# ---------------------------------------------------------------------------
+@query(
+    "reduce_sliding",
+    """
+SELECT
+  cast(epoch(bucket_start) AS bigint) AS win_start,
+  event_type,
+  count(*) AS n,
+  sum(cast(value AS decimal(18,2))) AS total_value
+FROM (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', e.ts)
+           - to_minutes(30 * s.shift) AS bucket_start
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(2)) AS shift) s
+  WHERE e.ts >= bucket_start AND e.ts < bucket_start + INTERVAL '60 minutes'
+)
+GROUP BY 1, 2
+""",
+)
+def q_reduce_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = sliding_window(
+        e,
+        "60 minutes",
+        "30 minutes",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        keys=["event_type"],
+    )
+    return out.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (session-window Reduce, batch form: gaps-and-islands)
+# ---------------------------------------------------------------------------
+@query(
+    "session_reduce",
+    TRANSCRIPTS_CTE
+    + """
+, flagged AS (
+  SELECT conv_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+), sess AS (
+  SELECT conv_id, ts,
+    sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT conv_id, session_id, count(*) AS n_turns,
+       cast(floor(epoch(min(ts))) AS bigint) AS session_start_s,
+       cast(floor(epoch(max(ts))) AS bigint) AS session_end_s
+FROM sess GROUP BY 1, 2
+""",
+)
+def q_session_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    out = session_reduce_batch(t, 1800, aggs={"n_turns": F.count(F.lit(1))}, keys=["conv_id"])
+    return out.select(
+        "conv_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_turns",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        F.unix_timestamp("session_end").alias("session_end_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-bounded Reduce (the test_reduce golden shape, on the events stream):
+# per-partition batches of 100 messages in offset order
+# ---------------------------------------------------------------------------
+@query(
+    "count_reduce",
+    """
+WITH src AS (
+  SELECT cast(user_id % 8 AS int) AS partition,
+         cast(row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS bigint)
+           AS "offset",
+         value
+  FROM events
+)
+SELECT partition, cast("offset" // 100 AS bigint) AS batch_id,
+       count(*) AS n,
+       sum(cast(value AS decimal(18,2))) AS total_value,
+       max("offset") + 1 AS next_offset
+FROM src GROUP BY 1, 2
+""",
+)
+def q_count_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    src = e.withColumn("partition", (F.col("user_id") % 8).cast("int")).withColumn(
+        "offset",
+        F.row_number().over(W.partitionBy("partition").orderBy("ts", "event_id")).cast("long") - 1,
+    )
+    return count_reduce(
+        src,
+        100,
+        aggs={"n": F.count(F.lit(1)), "total_value": F.sum(F.col("value").cast("decimal(18,2)"))},
+    )
+
+
+# ---------------------------------------------------------------------------
+# BatchStep: ordered per-window batches; verify via batch sizes + first text
+# ---------------------------------------------------------------------------
+@query(
+    "batch_step",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id,
+       cast(epoch(time_bucket(INTERVAL '6 hours', ts)) AS bigint) AS win_start,
+       count(*) AS batch_size,
+       min(turn_idx) AS first_turn
+FROM transcripts
+GROUP BY 1, 2
+""",
+)
+def q_batch_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    out = batch_step(t, "6 hours", keys=["conv_id"], payload_cols=["turn_idx", "role", "text"])
+    return out.select(
+        "conv_id",
+        F.unix_timestamp(F.col("win.start")).alias("win_start"),
+        "batch_size",
+        F.col("batch")[0]["turn_idx"].alias("first_turn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RunTask + FilterStep: normalized text features over documents
+# ---------------------------------------------------------------------------
+@query(
+    "run_task_text_features",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS norm_text
+  FROM documents WHERE n_chars >= 50
+)
+SELECT doc_id, norm_text,
+  CASE WHEN norm_text = '' THEN 0
+       ELSE length(norm_text) - length(replace(norm_text, ' ', '')) + 1
+  END AS n_tokens
+FROM norm
+""",
+)
+def q_run_task_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = filter_step(d, F.col("n_chars") >= 50)
+    d = run_task(d, norm_text=normalize_text("text"), n_tokens=token_count("text"))
+    return d.select("doc_id", "norm_text", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Unfold: explode token arrays -> global term frequencies
+# ---------------------------------------------------------------------------
+@query(
+    "unfold_tokens",
+    r"""
+SELECT tok, count(*) AS freq
+FROM (
+  SELECT unnest(string_split(
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+)
+WHERE tok <> ''
+GROUP BY 1
+""",
+)
+def q_unfold_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = unfold(d, word_tokens("text"), alias="tok", keep=[])
+    return toks.filter(F.col("tok") != "").groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage: TPC-H-style aggregation and join (scan pushdown,
+# broadcast join, partial aggregation — Catalyst-native)
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q1_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+  sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+  sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       sum(cast(l.l_extendedprice AS decimal(18,2)) * (1 - cast(l.l_discount AS decimal(18,2)))) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+)
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: top-3 turns per conversation by text length
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_conv",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx, len FROM (
+  SELECT conv_id, turn_idx, length(text) AS len,
+         row_number() OVER (PARTITION BY conv_id ORDER BY length(text) DESC, turn_idx) AS rn
+  FROM transcripts
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy(F.length("text").desc(), "turn_idx")
+    return (
+        t.withColumn("len", F.length("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("conv_id", "turn_idx", "len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality score + lang id + fingerprint over documents
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprints",
+    """
+SELECT doc_id,
+       cast(('0x' || substring(md5(text), 1, 15))::bigint AS bigint) AS fp,
+       n_chars
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint64("text").alias("fp"), "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact): group identical normalized text, keep min doc_id
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT norm_text, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM norm GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", normalize_text("text").alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

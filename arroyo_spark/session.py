@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the sandbox stand-in for a multi-executor cluster: we design
+for partition-parallel execution (AQE, skew-join handling, Arrow batching)
+and verify scaling by running the same job at two parallelism levels
+(local[8] vs local[32] ~= N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "arroyo_spark",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` maps to ``local[cores]``; shuffle partitions default to the
+    core count (never the 200 default — wrong at both tiny and huge scale;
+    on a real cluster this would be sized to ~2-3x total executor cores).
+    """
+    if shuffle_partitions is None:
+        if isinstance(cores, int):
+            shuffle_partitions = max(cores, 8)
+        else:
+            shuffle_partitions = os.cpu_count() or 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # streaming state store: RocksDB would be the cluster choice; the
+        # default HDFS-backed store is fine single-node and has no native dep
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,101 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the flagship transcript pipeline
+(windowed agg + tool-call join) on a deterministic synthetic stream, and
+reports per-query seconds and sustained turns/sec.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~0.5M turns w/ skew
+
+
+def run_queries(spark) -> dict[str, float]:
+    from arroyo_spark import queries as q
+
+    timings: dict[str, float] = {}
+    for name, fn in q.QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # full materialization of the aggregate
+        timings[name] = round(time.time() - t0, 3)
+        if n == 0:
+            print(f"WARN bench: {name} returned 0 rows", file=sys.stderr)
+    return timings
+
+
+def run_flagship_pipeline(spark) -> tuple[float, int]:
+    """Windowed agg + tool-call correlation over synthetic transcripts."""
+    from pyspark.sql import functions as F
+
+    from arroyo_spark.operators import reduce_window
+    from arroyo_spark.synth import tool_calls, transcripts
+
+    t = transcripts(spark, N_CONVS, partitions=CPUS, with_lineage=False)
+    t.cache()
+    n_turns = t.count()  # materialize input once; time only the pipeline
+
+    t0 = time.time()
+    agg = reduce_window(
+        t,
+        "1 hour",
+        aggs={
+            "n_turns": F.count(F.lit(1)),
+            "n_tools": F.countDistinct("tool"),
+            "chars": F.sum(F.length("text")),
+        },
+        keys=["conv_id"],
+    )
+    calls = tool_calls(t)
+    call_stats = calls.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    out = agg.join(call_stats, "conv_id", "left")
+    out.count()
+    elapsed = time.time() - t0
+    t.unpersist()
+    return elapsed, n_turns
+
+
+def main() -> None:
+    from arroyo_spark.session import get_spark
+
+    spark = get_spark(app_name="arroyo_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+    t_start = time.time()
+    timings = run_queries(spark)
+    flagship_sec, n_turns = run_flagship_pipeline(spark)
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+    total = round(time.time() - t_start, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns_per_sec": round(n_turns / flagship_sec, 1),
+                "flagship_turns": n_turns,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
