@@ -1,0 +1,88 @@
+"""Offsets ledger — the exactly-once commit story.
+
+Reference contract being reproduced (not the mechanics):
+- committed offset is always the NEXT offset to read
+  (/root/reference/arroyo/backends/abstract.py:22-51, docs/source/offsets.rst)
+- sink writes are ordered BEFORE offset commit
+  (/root/reference/arroyo/dlq.py:423-436, processor.py:330-337)
+- arroyo is at-least-once; we upgrade to effectively-once by making the
+  epoch replay idempotent: an epoch whose ledger entry exists is skipped,
+  and an epoch's data write is an atomic overwrite of its own directory.
+
+No transactional catalog is assumed (no Iceberg jars in this image): the
+commit primitive is POSIX atomic rename of a manifest file. On a real
+cluster the same interface is backed by an Iceberg/Delta MERGE keyed on
+(job_id, epoch_id) — the TableIO seam is this class.
+
+Crash matrix (epoch e):
+  crash before data rename      -> restart replays e, overwrites staging: OK
+  crash after data, before ledger -> restart replays e, data dir is
+                                     overwritten with identical rows: OK
+  crash after ledger            -> restart sees ledger entry, skips: OK
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+
+@dataclass
+class OffsetsLedger:
+    root: str
+    job_id: str
+
+    def __post_init__(self) -> None:
+        os.makedirs(self._dir(), exist_ok=True)
+
+    def _dir(self) -> str:
+        return os.path.join(self.root, "ledger", self.job_id)
+
+    def _path(self, epoch_id: int) -> str:
+        return os.path.join(self._dir(), f"epoch-{epoch_id:012d}.json")
+
+    def is_committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._path(epoch_id))
+
+    def commit(
+        self,
+        epoch_id: int,
+        next_offsets: dict[int, int],
+        metrics: dict[str, float] | None = None,
+    ) -> None:
+        """Atomically record the epoch: write tmp + rename (POSIX atomic)."""
+        entry = {
+            "job_id": self.job_id,
+            "epoch_id": epoch_id,
+            "next_offsets": {str(k): v for k, v in next_offsets.items()},
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        tmp = self._path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._path(epoch_id))
+
+    def entries(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self._dir())):
+            if name.endswith(".json"):
+                with open(os.path.join(self._dir(), name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def committed_offsets(self) -> dict[int, int]:
+        """Max next-offset per partition across all committed epochs."""
+        out: dict[int, int] = {}
+        for e in self.entries():
+            for p, o in e["next_offsets"].items():
+                p = int(p)
+                out[p] = max(out.get(p, 0), o)
+        return out
+
+    def epochs(self) -> list[int]:
+        return [e["epoch_id"] for e in self.entries()]
