@@ -9,3 +9,11 @@ from arroyo_spark.operators.reduce import (  # noqa: F401
     count_reduce,
     fold_groups,
 )
+from arroyo_spark.operators.join import (  # noqa: F401
+    asof_join,
+    correlate_tool_calls,
+    orphan_calls,
+    salted_agg,
+    stream_correlate,
+)
+from arroyo_spark.operators.buffer import stateful_buffer  # noqa: F401

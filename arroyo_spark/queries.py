@@ -435,6 +435,90 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's latest prior click
+# (merge_asof per group vs an IGNORE-NULLS window oracle)
+# ---------------------------------------------------------------------------
+@query(
+    "asof_purchase_click",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         event_type
+  FROM events WHERE event_type IN ('purchase', 'click')
+), filled AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_click_event_id
+  FROM tagged
+)
+SELECT event_id AS purchase_event_id, user_id, r_click_event_id
+FROM filled WHERE event_type = 'purchase'
+""",
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts"
+    )
+    out = asof_join(purchases, clicks, key="user_id", right_cols=["click_event_id"])
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "r_click_event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation over the skewed conversation key — must be
+# indistinguishable from a plain GROUP BY (the oracle)
+# ---------------------------------------------------------------------------
+@query(
+    "salted_agg_conv",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS total_chars
+FROM transcripts GROUP BY 1
+""",
+)
+def q_salted_agg_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators import salted_agg
+
+    t = transcripts_from_events(spark, sf_dir)
+    return salted_agg(
+        t,
+        "conv_id",
+        partial_aggs={"n_p": F.count(F.lit(1)), "c_p": F.sum(F.length("text"))},
+        merge_aggs={"n_turns": F.sum("n_p"), "total_chars": F.sum("c_p")},
+        n_salts=8,
+        salt_by="turn_idx",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi joins (set-op coverage)
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_orders",
+    """
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+)
+""",
+)
+def q_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
