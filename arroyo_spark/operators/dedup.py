@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (arroyo has no relational/dedup surface);
+these are the engine's first-class additions for the 100 TB corpus case.
+Every operator is pure column expressions + shuffles that Catalyst can
+plan — no driver-side loops, no Python in the hot path.
+
+Determinism & oracle-checkability: the hash primitive is
+``md5 -> first 15 hex chars -> int64`` which evaluates bit-identically in
+Spark (conv) and DuckDB (hex cast), so MinHash/SimHash signatures match an
+ANSI-SQL oracle exactly. In production you would swap md5 for xxhash64
+(cheaper); the algebra is unchanged.
+
+Scale notes (10^9+ docs):
+- minhash: explode(shingles) x n_perm is the dominant cost; it is
+  map-side only (no shuffle) until the per-(doc, perm) min aggregation,
+  which partial-aggregates before the shuffle.
+- LSH bands: candidate generation is a self-equi-join on (band, band_key)
+  — hash-partitioned, no cross product; hot buckets (boilerplate docs)
+  are bounded by ``max_bucket_size``.
+- exact dedup: hash-groupBy on the normalized text fingerprint, not the
+  text itself (64-bit shuffle keys, not document bodies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arroyo_spark.functions.text import normalize_text, word_tokens
+
+
+def md5_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles over normalized tokens -> array<string> (may be empty).
+
+    Guarded for short docs: Spark's sequence(1, 0) would generate a
+    DESCENDING [1, 0] — docs with < n tokens get an empty array instead.
+    """
+    toks = word_tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups keyed by the normalized-text fingerprint.
+
+    Shuffles 64-bit fingerprints, not documents. Returns
+    (fingerprint, keep_id, dup_count).
+    """
+    fp = md5_hash64(normalize_text(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_perm: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature rows: (id, perm, minhash).
+
+    Permutation i is an independent hash family member obtained by salting
+    the shingle hash with i (md5 re-hash — no multiply-mod arithmetic, so
+    no int64 overflow and an exact SQL mirror).
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    perms = sh.select(
+        id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    )
+    h = md5_hash64(F.concat_ws("|", F.col("perm"), F.col("shingle")))
+    return (
+        perms.withColumn("h", h)
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, band_size: int = 4) -> DataFrame:
+    """Group signature rows into bands: (id, band, band_key).
+
+    band_key = md5 of the comma-joined minhashes in perm order.
+    """
+    banded = sig_df.withColumn("band", (F.col("perm") / band_size).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_key")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    max_bucket_size drops degenerate buckets (e.g. empty-text boilerplate)
+    whose quadratic blowup would dominate at corpus scale; dropped buckets
+    should be routed to an exact-dedup pass instead.
+    """
+    bands = lsh_bands(
+        minhash_signatures(df, id_col, text_col, n_perm, shingle_n), id_col, band_size
+    )
+    from pyspark.sql import Window as W
+
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprints: (id, simhash) with ``bits`` bits.
+
+    Token multiset (not set): repeated tokens weigh more, per the original
+    algorithm. Bit j is 1 iff sum over tokens of (+1 if token-hash bit j
+    else -1) is positive.
+    """
+    toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("tok"))
+    h = md5_hash64(F.col("tok"))
+    bitpos = toks.withColumn("h", h).select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    )
+    # h is non-negative (60-bit), so logical == arithmetic shift; expr form
+    # because the DSL shift functions only take literal shift amounts
+    bit = F.expr("shiftright(h, cast(j AS int)) & 1")
+    signed = bitpos.withColumn("c", (bit * 2 - 1))
+    votes = signed.groupBy(id_col, "j").agg(F.sum("c").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, cast(j AS int))")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    The exact verifier for minhash candidates: |A ∩ B| via a self-join on
+    distinct shingles, |A ∪ B| = |A|+|B|-|A∩B|. Quadratic only within
+    shingle buckets — at corpus scale run it on LSH candidates, not all
+    pairs (compose: minhash_candidates >> join >> this).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+First-class training-data-pipeline addition (no reference counterpart).
+Two strategies:
+
+- ``cosine_topk``: exact brute-force top-k. The dot product is a JVM-side
+  ``aggregate(zip_with(...))`` over double arrays — bit-identical to
+  DuckDB's list_dot_product, so results are oracle-checkable exactly.
+  Quadratic: the correctness baseline and the small-N (<~10^5) path.
+- ``lsh_ann_topk``: random-hyperplane LSH. Deterministic hyperplanes are
+  derived from md5 of (plane, dim) — sign hashes bucket the vectors; the
+  quadratic search runs only within buckets. This is the 10^9-vector
+  path: bucket histogram ~ N/2^planes, each bucket's pair join is a
+  hash-partitioned equi-join, and recall is tunable by planes/band count.
+
+Scale notes: both avoid driver-side loops entirely; the brute-force join
+broadcasts the smaller side automatically when a query set is provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arroyo_spark.operators.dedup import md5_hash64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("_vec", v).withColumn("_norm", F.sqrt(_dot(v, v)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (default: all).
+
+    Output: (query_id, neighbor_id, cosine, rank) — ties broken by
+    neighbor_id so results are total-ordered and reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
+    )
+    qset = with_norm(queries if queries is not None else df, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    pairs = qset.join(base, F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_bv")) / (F.col("_qn") * F.col("_bn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_sign_bucket(
+    vec_col: Column, n_planes: int = 8, dim: int | None = None, seed: int = 0
+) -> Column:
+    """Deterministic random-hyperplane bucket id for a vector column.
+
+    Plane p's weight for dimension d is +1/-1 from md5(seed|p|d) — the
+    same arithmetic is expressible in the SQL oracle. Returns an int in
+    [0, 2^n_planes).
+    """
+    v = vec_col.cast("array<double>")
+    size = F.lit(dim) if dim is not None else F.size(v)
+
+    def plane_bit(p: int) -> Column:
+        w = lambda d: (  # noqa: E731
+            (
+                F.pmod(
+                    md5_hash64(F.concat_ws("|", F.lit(seed), F.lit(p), (d - 1).cast("string"))),
+                    F.lit(2),
+                )
+                * 2
+                - 1
+            ).cast("double")
+        )
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(1), size),
+                lambda x, i: x * w(i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    bucket = plane_bit(0)
+    for p in range(1, n_planes):
+        bucket = bucket + plane_bit(p)
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within LSH sign buckets.
+
+    Vectors only compete inside their bucket — recall < 1 by design;
+    increase recall with fewer planes (bigger buckets) or multiple seeds
+    (band OR-ing, union + re-rank).
+    """
+    from pyspark.sql import Window as W
+
+    b = with_norm(df, vec_col).withColumn(
+        "bucket", hyperplane_sign_bucket(F.col(vec_col), n_planes, seed=seed)
+    )
+    a = b.select(
+        "bucket", F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    c = b.select(
+        "bucket", F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
+    )
+    pairs = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_bv")) / (F.col("_qn") * F.col("_bn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= threshold) within LSH buckets."""
+    b = with_norm(df, vec_col).withColumn(
+        "bucket", hyperplane_sign_bucket(F.col(vec_col), n_planes, seed=seed)
+    )
+    a = b.select("bucket", F.col(id_col).alias("id_a"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"))
+    c = b.select("bucket", F.col(id_col).alias("id_b"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine", _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

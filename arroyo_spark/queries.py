@@ -519,6 +519,249 @@ def q_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text quality + language id
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_langid",
+    r"""
+WITH norm AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, nt,
+    cast(length(text) AS double) AS n,
+    cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double) AS alpha,
+    CASE WHEN nt = '' THEN 0
+         ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS ntok,
+    string_split(nt, ' ') AS toks
+  FROM norm
+)
+SELECT doc_id,
+  0.4 * least(n / 500.0, 1.0)
+  + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+  + 0.2 * least((CASE WHEN ntok > 0 THEN alpha / ntok ELSE 0.0 END) / 8.0, 1.0)
+    AS quality,
+  CASE
+    WHEN greatest(
+      len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))),
+      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))),
+      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','que'], t)))
+    ) = 0 THEN 'unknown'
+    WHEN len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))) = greatest(
+      len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))),
+      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))),
+      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','que'], t)))
+    ) THEN 'en'
+    WHEN len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) = greatest(
+      len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))),
+      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))),
+      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','que'], t)))
+    ) THEN 'de'
+    ELSE 'fr'
+  END AS lang
+FROM feat
+""",
+)
+def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"), lang_id("text").alias("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash signatures -> LSH bands (the full signature pipeline is
+# oracle-checked; candidate pairs follow deterministically from the bands)
+# ---------------------------------------------------------------------------
+_SHINGLES_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(nt, ' ') AS t FROM norm WHERE nt <> ''
+), sh AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)"""
+
+_MINHASH_SQL_PRELUDE = _SHINGLES_SQL + r""", perms AS (
+  SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh
+), sig AS (
+  SELECT doc_id, cast(perm AS int) AS perm,
+    min(('0x' || substring(md5(concat(perm, '|', shingle)), 1, 15))::bigint) AS minhash
+  FROM perms GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "minhash_lsh_bands",
+    _MINHASH_SQL_PRELUDE
+    + """
+SELECT doc_id, cast(perm // 4 AS int) AS band,
+       md5(string_agg(cast(minhash AS varchar), ',' ORDER BY perm)) AS band_key
+FROM sig GROUP BY 1, 2
+""",
+)
+def q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", n_perm=8)
+    return lsh_bands(sig, "doc_id", band_size=4)
+
+
+@query(
+    "dedup_minhash_candidates",
+    _MINHASH_SQL_PRELUDE
+    + """
+, bands AS (
+  SELECT doc_id, cast(perm // 4 AS int) AS band,
+         md5(string_agg(cast(minhash AS varchar), ',' ORDER BY perm)) AS band_key
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""",
+)
+def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import minhash_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(d, "doc_id", "text", n_perm=8, band_size=4)
+
+
+@query(
+    "dedup_simhash",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS h FROM toks
+), bits AS (
+  SELECT doc_id, cast(j AS int) AS j, ((h >> cast(j AS int)) & 1) * 2 - 1 AS c
+  FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS j)
+), votes AS (
+  SELECT doc_id, j, sum(c) AS v FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::bigint << j) ELSE 0 END) AS simhash
+FROM votes GROUP BY 1
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import simhash
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.trim(normalize_text("text")) != ""
+    )
+    return simhash(d, "doc_id", "text", bits=16)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    _SHINGLES_SQL
+    + """
+, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_inter / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (oracle bit-identical:
+# both engines fold the dot product sequentially over double arrays)
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS cosine
+  FROM v q JOIN v b ON q.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary payload metadata (oracle-checkable);
+# the Arrow-batched feature extraction itself is covered rows-only + pytest
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       4 * octet_length(from_hex(md5(text))) AS n_bytes,
+       ('0x' || substring(md5(concat('0#', text)), 1, 2))::int AS first_byte
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arroyo_spark.operators.multimodal import attach_fake_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(d)
+    return media.select(
+        "doc_id",
+        "n_bytes",
+        F.conv(F.hex(F.expr("substring(media, 1, 1)")), 16, 10).cast("int").alias("first_byte"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: Arrow-batched fake feature extraction (no SQL oracle
+    — the features come from a Python/numpy kernel by design)."""
+    from arroyo_spark.operators.multimodal import attach_fake_media, extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(d))
+
+
+QUERIES["multimodal_features"] = q_multimodal_features
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
