@@ -35,18 +35,36 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """n-word shingles over normalized tokens -> array<string> (may be empty).
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from a MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column attribute (produced by a prior
+    projection), not an expression tree: the lambda references it 3x per
+    element, and re-deriving normalize+split per reference is ~50x slower.
 
     Guarded for short docs: Spark's sequence(1, 0) would generate a
     DESCENDING [1, 0] — docs with < n tokens get an empty array instead.
     """
-    toks = word_tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.when(F.size(toks) >= n, F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
     )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles over normalized tokens (expression form — prefer
+    materializing word_tokens() into a column and using shingles_of_tokens
+    in hot paths)."""
+    return shingles_of_tokens(word_tokens(col), n)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows with tokens materialized once per document."""
+    return (
+        df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle"))
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -72,7 +90,7 @@ def minhash_signatures(
     the shingle hash with i (md5 re-hash — no multiply-mod arithmetic, so
     no int64 overflow and an exact SQL mirror).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
     perms = sh.select(
         id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
     )
@@ -174,10 +192,7 @@ def ngram_jaccard_pairs(
     shingle buckets — at corpus scale run it on LSH candidates, not all
     pairs (compose: minhash_candidates >> join >> this).
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
-        .distinct()
-    )
+    sh = _shingle_rows(df, id_col, text_col, shingle_n).distinct()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -673,7 +673,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     _SHINGLES_SQL
     + """
-, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id < 1000),
 counts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -691,7 +691,10 @@ WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    # exact-Jaccard is the quadratic VERIFIER: bounded to 1000 docs (a no-op
+    # at the sf0.01 gate; caps bench cost at sf0.1+). The scale path for full
+    # corpora is minhash_candidates >> jaccard-on-candidates.
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
 
 
@@ -710,6 +713,7 @@ WITH v AS (
   SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS cosine
   FROM v q JOIN v b ON q.vec_id <> b.vec_id
+  WHERE q.vec_id < 1000
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) AS rank
@@ -721,8 +725,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.similarity import cosine_topk
 
+    # brute force is the exact VERIFIER: query side bounded to 1000 vectors
+    # (a no-op at the sf0.01 gate); the scale path is lsh_ann_topk
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(e, k=5)
+    return cosine_topk(e, k=5, queries=e.filter(F.col("vec_id") < 1000))
 
 
 # ---------------------------------------------------------------------------
@@ -748,6 +754,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.conv(F.hex(F.expr("substring(media, 1, 1)")), 16, 10).cast("int").alias("first_byte"),
     )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the ANN scale path (sign-LSH buckets + exact rank
+    within bucket). No SQL oracle: bucket membership hinges on the sign of
+    a float projection whose SQL GROUP-BY summation order is nondeterministic;
+    correctness is covered by the exact verifier (ann_cosine_topk) plus the
+    within-bucket ordering test in tests/test_dedup_similarity.py."""
+    from arroyo_spark.operators.similarity import lsh_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(e, k=5, n_planes=8)
+
+
+QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,3 +86,19 @@ class OffsetsLedger:
 
     def epochs(self) -> list[int]:
         return [e["epoch_id"] for e in self.entries()]
+
+    def metrics_df(self, spark):
+        """Per-epoch lineage metrics as a DataFrame: (epoch_id, partition,
+        next_offset, committed_at, metric, value) — the queryable analog of
+        the reference's metrics backend (arroyo/utils/metric_defs.py)."""
+        rows = []
+        for e in self.entries():
+            offsets = e["next_offsets"] or {"-1": -1}
+            for p, o in offsets.items():
+                for m, v in e["metrics"].items():
+                    rows.append((e["epoch_id"], int(p), o, float(e["committed_at"]), m, float(v)))
+        return spark.createDataFrame(
+            rows,
+            "epoch_id long, partition int, next_offset long, committed_at double, "
+            "metric string, value double",
+        )

@@ -77,6 +77,12 @@ class ExactlyOnceSink:
                     next_offsets[r["partition"]] = r["no"]
                     if r["mts"] is not None:
                         max_ts = max(max_ts, r["mts"]) if max_ts else r["mts"]
+            else:
+                # continuous mode (pre-aggregated batches): still record the
+                # consumer-latency metric from any event-time column present
+                ts_col = next((c for c in ("ts", "win_end", "win_start") if c in batch_df.columns), None)
+                if ts_col is not None and n_total:
+                    max_ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
 
             n_invalid = 0
             data_in = batch_df

