@@ -131,26 +131,57 @@ def count_reduce(
     max_batch_size: int,
     aggs: dict[str, Column],
     order_cols: list[str] | None = None,
+    weight: Column | None = None,
 ) -> DataFrame:
-    """Count-bounded Reduce: per-partition batches of exactly N messages.
+    """Count/weight-bounded Reduce: per-partition batches in offset order.
 
-    The golden contract of test_reduce.py:24-43 — payloads 0..5, size 3 ->
+    The golden contract of test_reduce.py:9-43 — payloads 0..5, size 3 ->
     batches {0,1,2}/{3,4,5} with committables {p:3}/{p:6}. Emits
     (partition, batch_id, <aggs>, next_offset=max(offset)+1).
 
-    This is a per-source-partition sequential semantics, so it sorts within
-    each partition (P parallel tasks) — inherently ordered, not a shuffle
-    bottleneck at scale because P ~ number of source partitions.
+    ``weight`` generalizes to arroyo's compute_batch_size
+    (/root/reference/arroyo/processing/strategies/reduce.py:44-49, weighted
+    golden tests/processing/strategies/test_batching.py:198-243): a message
+    joins the current batch, and the batch flushes once its accumulated
+    weight reaches max_batch_size (accumulator resets to 0 — overshoot does
+    NOT carry). That reset makes the assignment inherently sequential, so
+    the weighted path computes batch ids with an Arrow-batched per-partition
+    scan; the unweighted path stays a pure window expression.
+
+    Per-source-partition sequential semantics either way: one ordered pass
+    per partition (P parallel tasks) — not a shuffle bottleneck at scale
+    since P ~ number of source partitions.
     """
     from pyspark.sql import Window as W
 
     order_cols = order_cols or ["offset"]
-    w = W.partitionBy("partition").orderBy(*order_cols)
-    seq = F.row_number().over(w) - 1
-    batched = df.withColumn("batch_id", (seq / max_batch_size).cast("long"))
     agg_cols = [c.alias(name) for name, c in aggs.items()] + [
         (F.max("offset") + 1).alias("next_offset")
     ]
+    if weight is None:
+        w = W.partitionBy("partition").orderBy(*order_cols)
+        seq = F.row_number().over(w) - 1
+        batched = df.withColumn("batch_id", (seq / max_batch_size).cast("long"))
+        return batched.groupBy("partition", "batch_id").agg(*agg_cols)
+
+    from pyspark.sql import types as T
+
+    src = df.withColumn("_w", weight)
+    out_schema = T.StructType(list(src.schema.fields) + [T.StructField("batch_id", T.LongType())])
+
+    def assign(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        ids, bid, acc = [], 0, 0.0
+        for wv in pdf["_w"]:
+            ids.append(bid)
+            acc += wv
+            if acc >= max_batch_size:  # flush AFTER append; reset accumulator
+                bid += 1
+                acc = 0.0
+        pdf["batch_id"] = ids
+        return pdf
+
+    batched = src.groupBy("partition").applyInPandas(assign, schema=out_schema)
     return batched.groupBy("partition", "batch_id").agg(*agg_cols)
 
 

@@ -756,6 +756,96 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational completeness: rollup, pivot, set ops, exact percentile
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "pivot_events_by_type",
+    """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY 1
+""",
+)
+def q_pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = e.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+@query(
+    "setops_active_users",
+    """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+""",
+)
+def q_setops_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    heavy_err = e.filter((F.col("event_type") == "error") & (F.col("value") > 95)).select(
+        "user_id"
+    )
+    return buyers.intersect(clickers).exceptAll(heavy_err).distinct()
+
+
+@query(
+    "percentile_doc_lengths",
+    """
+SELECT source,
+       cast(quantile_cont(n_chars, 0.5) AS double) AS p50,
+       cast(quantile_cont(n_chars, 0.9) AS double) AS p90,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+""",
+)
+def q_percentile_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.percentile("n_chars", 0.5).alias("p50"),
+        F.percentile("n_chars", 0.9).alias("p90"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: the ANN scale path (sign-LSH buckets + exact rank
     within bucket). No SQL oracle: bucket membership hinges on the sign of

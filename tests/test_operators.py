@@ -43,6 +43,30 @@ def test_reduce_count_batches(spark):
     assert rows[(0, 1)].next_offset == 6
 
 
+# --- Weighted Reduce golden:
+# /root/reference/tests/processing/strategies/test_batching.py:198-243
+# compute_batch_size=len(payload), max=3: p0 -> ["1","11"] then ["222"];
+# p1 -> ["33","333"]; committables {0:3}, {0:4}, {1:3}.
+def test_count_reduce_weighted_golden(spark):
+    rows = [(0, 1, "1"), (0, 2, "11"), (0, 3, "222"), (1, 1, "33"), (1, 2, "333")]
+    df = spark.createDataFrame(rows, "partition int, offset long, payload string")
+    out = count_reduce(
+        df,
+        3,
+        aggs={"batch": F.sort_array(F.collect_list(F.struct("offset", "payload")))},
+        weight=F.length("payload"),
+    )
+    got = {
+        (r.partition, r.batch_id): ([e.payload for e in r.batch], r.next_offset)
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 0): (["1", "11"], 3),
+        (0, 1): (["222"], 4),
+        (1, 0): (["33", "333"], 3),
+    }
+
+
 # --- RunTask golden: /root/reference/tests/processing/strategies/test_run_task.py:50-104
 # transform replaces the payload, preserving lineage (committable/timestamp).
 def test_run_task_transform_preserves_lineage(spark):

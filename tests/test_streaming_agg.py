@@ -128,6 +128,43 @@ def test_streaming_agg_matches_batch_for_closed_windows(spark, tmp_path):
     df.unpersist()
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window in a streaming plan: gaps > 5 min split
+    sessions; closed sessions emit exactly once through the sink."""
+    from arroyo_spark.operators.reduce import session_window_stream
+
+    m = lambda minute: T0 + timedelta(minutes=minute)  # noqa: E731
+    slices = [
+        # conv a: turns at 0,2,4 (one session), then 20,21 (second session)
+        [("a", 0, m(0)), ("a", 1, m(2)), ("a", 2, m(4))],
+        [("a", 3, m(20)), ("a", 4, m(21))],
+        # far-future row advances the watermark past every session's end
+        [("b", 0, m(120))],
+    ]
+    src = write_slices(spark, tmp_path, slices)
+    ledger = OffsetsLedger(str(tmp_path), "sess")
+    sink = ExactlyOnceSink(output_dir=str(tmp_path / "sess"), ledger=ledger)
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(src, SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "sess/ckpt"),
+        pipeline=lambda df: session_window_stream(
+            df,
+            "5 minutes",
+            aggs={"n": F.count(F.lit(1))},
+            keys=["conv_id"],
+            watermark="1 minute",
+        ).select(F.col("win.start").alias("ws"), "conv_id", "n"),
+        output_mode="append",
+    ).run_until_complete()
+
+    got = {(r.conv_id, r.ws): r.n for r in sink.read_output(spark).collect()}
+    assert got[("a", m(0))] == 3  # 0,2,4 merged (gaps < 5 min)
+    assert got[("a", m(20))] == 2  # 20,21 — separate session after 16-min gap
+    assert ("b", m(120)) not in got  # open session not emitted
+
+
 def test_pipeline_composition(spark):
     from arroyo_spark.operators import filter_step, run_task
 
