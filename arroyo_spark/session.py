@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local mode = single JVM: the driver heap IS the executor heap.
+        # 16g measured best on this box: the same streaming job at local[32]
+        # ran 31.8s with 16g vs 206s with 64g (oversized G1 heap collapses
+        # under 32 threads + state store); undersized heaps GC-thrash
+        # large cached datasets instead — size to the working set.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

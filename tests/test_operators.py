@@ -43,6 +43,27 @@ def test_reduce_count_batches(spark):
     assert rows[(0, 1)].next_offset == 6
 
 
+def test_reduce_window_with_committable(spark):
+    """reduce_window(with_committable=True) emits per-(window, key,
+    partition) groups carrying next_offset = max(offset)+1 — the Value
+    committable contract (/root/reference/arroyo/types.py:120-155)."""
+    from arroyo_spark.operators import reduce_window
+
+    rows = [
+        ("a", 0, 0, 10, datetime(2024, 1, 1, 0, 5)),
+        ("a", 1, 0, 11, datetime(2024, 1, 1, 0, 25)),
+        ("a", 2, 1, 3, datetime(2024, 1, 1, 0, 40)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, partition int, offset long, ts timestamp"
+    )
+    out = reduce_window(
+        df, "1 hour", aggs={"n": F.count(F.lit(1))}, keys=["conv_id"], with_committable=True
+    )
+    got = {(r.conv_id, r.partition): (r.n, r.next_offset) for r in out.collect()}
+    assert got == {("a", 0): (2, 12), ("a", 1): (1, 4)}
+
+
 # --- Weighted Reduce golden:
 # /root/reference/tests/processing/strategies/test_batching.py:198-243
 # compute_batch_size=len(payload), max=3: p0 -> ["1","11"] then ["222"];

@@ -47,7 +47,7 @@ def prepare_input(convs: int, files: int, out: str) -> int:
             for i in range(files):
                 part = frame.filter(F.col("_slice") == i).drop("_slice")
                 tmp = f"{out}/_t"
-                part.coalesce(2).write.mode("overwrite").parquet(tmp)
+                part.repartition(32).write.mode("overwrite").parquet(tmp)
                 for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
                     shutil.move(f, f"{out}/{sub}/{i:04d}-{j}.parquet")
         else:
@@ -56,7 +56,7 @@ def prepare_input(convs: int, files: int, out: str) -> int:
                     (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
                 )
                 tmp = f"{out}/_t"
-                part.coalesce(2).write.mode("overwrite").parquet(tmp)
+                part.repartition(32).write.mode("overwrite").parquet(tmp)
                 for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
                     shutil.move(f, f"{out}/{sub}/{i:04d}-{j}.parquet")
     shutil.rmtree(f"{out}/_t", ignore_errors=True)

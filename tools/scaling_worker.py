@@ -24,7 +24,10 @@ def main() -> None:
     p.add_argument("--source", required=True, help="dir with transcript slices")
     p.add_argument("--calls", required=True, help="dir with tool_call slices")
     p.add_argument("--workdir", required=True)
-    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    # one epoch = 32 files = 32 scan tasks: parquet row groups don't split,
+    # so scan parallelism comes from file count (a real broker/Iceberg
+    # source brings its own partitioning)
+    p.add_argument("--max-files-per-trigger", type=int, default=64)
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -35,7 +38,21 @@ def main() -> None:
     from arroyo_spark.types import STREAM_SCHEMA, TOOL_CALL_SCHEMA
     from jobs import flagship_stream_pipeline
 
-    spark = get_spark(f"scaling_{args.cores}", cores=args.cores, shuffle_partitions=args.cores)
+    # shuffle/state partitioning is a property of the JOB, not the cluster
+    # size: keep it fixed (32) at both levels, exactly as a real cluster
+    # keeps its partitioning when executors are added. Lower the file-split
+    # size so the scan fans out: the default 128m maxPartitionBytes
+    # bin-packs the ~12MB stream files into <8 scan tasks, capping the map
+    # side at BOTH levels (measured: identical epoch times at 8 vs 32 cores).
+    spark = get_spark(
+        f"scaling_{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
     work = f"{args.workdir}/c{args.cores}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
