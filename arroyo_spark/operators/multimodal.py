@@ -53,12 +53,13 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     Deterministic fake features (byte mean / min / max / a 4-bin
-    histogram) standing in for a real embedding model; the batch shape,
+    histogram, flattened to hist_0..hist_3 so every output column is a
+    scalar) standing in for a real embedding model; the batch shape,
     schema, and partition-parallel execution are the production path.
     """
     out_schema = (
         "doc_id long, n_bytes int, byte_mean double, byte_min int, byte_max int, "
-        "hist array<int>"
+        "hist_0 int, hist_1 int, hist_2 int, hist_3 int"
     )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -77,7 +78,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                         "byte_mean": float(arr.mean()),
                         "byte_min": int(arr.min()),
                         "byte_max": int(arr.max()),
-                        "hist": hist.tolist(),
+                        **{f"hist_{i}": int(hist[i]) for i in range(4)},
                     }
                 )
             yield pd.DataFrame(feats)

@@ -85,7 +85,7 @@ SELECT
   count(*) AS n_turns,
   count(DISTINCT tool) AS n_tools,
   max(turn_idx) AS max_turn_idx,
-  sum(length(text)) AS total_chars
+  cast(sum(length(text)) AS bigint) AS total_chars
 FROM transcripts
 GROUP BY 1, 2
 """,
@@ -123,7 +123,7 @@ SELECT
   cast(epoch(bucket_start) AS bigint) AS win_start,
   event_type,
   count(*) AS n,
-  sum(cast(value AS decimal(18,2))) AS total_value
+  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
 FROM (
   SELECT e.*,
          time_bucket(INTERVAL '30 minutes', e.ts)
@@ -143,7 +143,9 @@ def q_reduce_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "30 minutes",
         aggs={
             "n": F.count(F.lit(1)),
-            "total_value": F.sum(F.col("value").cast("decimal(18,2)")),
+            # decimal sum is exact+order-independent; one final cast to double
+            # matches DuckDB's widened DECIMAL(38,2)->float64 pandas rendering
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
         keys=["event_type"],
     )
@@ -174,7 +176,7 @@ def q_reduce_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT conv_id, session_id, count(*) AS n_turns,
+SELECT conv_id, cast(session_id AS bigint) AS session_id, count(*) AS n_turns,
        cast(floor(epoch(min(ts))) AS bigint) AS session_start_s,
        cast(floor(epoch(max(ts))) AS bigint) AS session_end_s
 FROM sess GROUP BY 1, 2
@@ -208,7 +210,7 @@ WITH src AS (
 )
 SELECT partition, cast("offset" // 100 AS bigint) AS batch_id,
        count(*) AS n,
-       sum(cast(value AS decimal(18,2))) AS total_value,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
        max("offset") + 1 AS next_offset
 FROM src GROUP BY 1, 2
 """,
@@ -224,7 +226,10 @@ def q_count_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_reduce(
         src,
         100,
-        aggs={"n": F.count(F.lit(1)), "total_value": F.sum(F.col("value").cast("decimal(18,2)"))},
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
     )
 
 
@@ -311,9 +316,9 @@ def q_unfold_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     """
 SELECT l_returnflag, l_linestatus,
-  sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-  sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
-  sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS sum_disc_price,
+  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -327,9 +332,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("sum_disc_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -339,7 +344,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_revenue_by_nation",
     """
 SELECT n.n_name AS nation,
-       sum(cast(l.l_extendedprice AS decimal(18,2)) * (1 - cast(l.l_discount AS decimal(18,2)))) AS revenue,
+       cast(sum(cast(l.l_extendedprice AS decimal(18,2)) * (1 - cast(l.l_discount AS decimal(18,2)))) AS double) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -360,7 +365,7 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("revenue"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -480,7 +485,7 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg_conv",
     TRANSCRIPTS_CTE
     + """
-SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS total_chars
+SELECT conv_id, count(*) AS n_turns, cast(sum(length(text)) AS bigint) AS total_chars
 FROM transcripts GROUP BY 1
 """,
 )
@@ -656,7 +661,7 @@ WITH norm AS (
   SELECT doc_id, j, sum(c) AS v FROM bits GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::bigint << j) ELSE 0 END) AS simhash
+       cast(sum(CASE WHEN v > 0 THEN (1::bigint << j) ELSE 0 END) AS bigint) AS simhash
 FROM votes GROUP BY 1
 """,
 )
@@ -764,7 +769,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
        count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -774,7 +779,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -790,11 +795,11 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_events_by_type",
     """
 SELECT user_id,
-  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bigint) AS n_view,
+  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bigint) AS n_click,
+  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchase,
+  cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bigint) AS n_signup,
+  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint) AS n_error
 FROM events GROUP BY 1
 """,
 )
@@ -846,31 +851,85 @@ def q_percentile_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64, seed: int = 0) -> str:
+    """SQL expression for the sign-hyperplane bucket: the ±1 weights are
+    md5-derived driver-side constants (same values Spark bakes in as
+    literals), embedded here as DOUBLE[] list literals. list_dot_product
+    folds left-to-right — bit-identical to Spark's statically expanded
+    projection sum."""
+    from arroyo_spark.operators.similarity import hyperplane_weight
+
+    terms = []
+    for p in range(n_planes):
+        w = ", ".join(f"{hyperplane_weight(seed, p, d):.1f}" for d in range(dim))
+        terms.append(f"(CASE WHEN list_dot_product(e, [{w}]) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "lsh_ann_topk",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, q.bucket AS bucket, b.vec_id AS neighbor_id,
+         list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS cosine
+  FROM vb q JOIN vb b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the ANN scale path (sign-LSH buckets + exact rank
-    within bucket). No SQL oracle: bucket membership hinges on the sign of
-    a float projection whose SQL GROUP-BY summation order is nondeterministic;
-    correctness is covered by the exact verifier (ann_cosine_topk) plus the
-    within-bucket ordering test in tests/test_dedup_similarity.py."""
+    """The ANN scale path: sign-LSH buckets + exact cosine rank within each
+    bucket. Oracle-checkable because the hyperplanes are ±1 literal
+    constants on both engines (same md5-derived weights, same sequential
+    dot-product fold)."""
     from arroyo_spark.operators.similarity import lsh_ann_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(e, k=5, n_planes=8)
 
 
-QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
-
-
+@query(
+    "multimodal_features",
+    """
+WITH h AS (
+  SELECT doc_id,
+         md5(concat('0#', text)) || md5(concat('1#', text)) ||
+         md5(concat('2#', text)) || md5(concat('3#', text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, ('0x' || substring(hx, 2 * i + 1, 2))::int AS byte
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS i)
+)
+SELECT doc_id,
+       cast(count(*) AS int) AS n_bytes,
+       cast(sum(byte) AS double) / 64 AS byte_mean,
+       cast(min(byte) AS int) AS byte_min,
+       cast(max(byte) AS int) AS byte_max,
+       cast(sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END) AS int) AS hist_0,
+       cast(sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END) AS int) AS hist_1,
+       cast(sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END) AS int) AS hist_2,
+       cast(sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END) AS int) AS hist_3
+FROM b GROUP BY 1
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: Arrow-batched fake feature extraction (no SQL oracle
-    — the features come from a Python/numpy kernel by design)."""
+    """Arrow-batched fake feature extraction over the opaque media column.
+    The fake media is md5-derived, so the numpy byte stats are exactly
+    reproducible in SQL (hex-pair extraction over the same md5 concat)."""
     from arroyo_spark.operators.multimodal import attach_fake_media, extract_features
 
     d = load_table(spark, sf_dir, "documents")
     return extract_features(attach_fake_media(d))
-
-
-QUERIES["multimodal_features"] = q_multimodal_features
 
 
 def queries() -> dict[str, QueryFn]:

@@ -126,7 +126,7 @@ def test_multimodal_media_and_features(spark):
     assert got.n_bytes == 64
     assert abs(got.byte_mean - float(arr.mean())) < 1e-9
     assert got.byte_min == int(arr.min()) and got.byte_max == int(arr.max())
-    assert sum(got.hist) == 64
+    assert got.hist_0 + got.hist_1 + got.hist_2 + got.hist_3 == 64
 
 
 def test_multimodal_frame_sampling(spark):

@@ -1,16 +1,22 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs each __spark_entry__.queries() entry on Spark and its oracle_sql() on
-DuckDB over the same sf dir, compares row count, column names, and an
-order-insensitive value hash (columns sorted by name, values stringified).
+DuckDB over the same sf dir, then compares the way the driver does:
+both results as pandas frames, columns sorted by name, rows sorted by all
+columns, values compared EXACTLY (str() of every cell — no rounding).
+Round-1 lesson: a lax local normalizer (%.6g) masked 10 driver
+hash_match failures whose root cause was DuckDB widening sum() to
+HUGEINT/DECIMAL(38,x) (float64 in pandas) vs Spark's int64/decimal.
+This checker is intentionally strict: dtype-kind differences are reported
+too, so "local PASS" implies "driver PASS".
 """
 
 from __future__ import annotations
 
-import hashlib
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -25,34 +31,48 @@ TABLES = (
 )
 
 
-def norm_cell(v) -> str:
-    import datetime
-    import decimal
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6g}"
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: columns sorted by name, rows sorted by
+    every column (this is what crashes on unhashable cells like lists —
+    intentionally NOT worked around here, the driver doesn't either)."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def value_hash(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+def cells(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    return [tuple(str(v) for v in row) for row in df.itertuples(index=False)]
+
+
+def compare(name: str, sdf_pd: pd.DataFrame, ddf_pd: pd.DataFrame) -> bool:
+    if sorted(sdf_pd.columns) != sorted(ddf_pd.columns):
+        print(f"FAIL {name}: columns spark={sorted(sdf_pd.columns)} duck={sorted(ddf_pd.columns)}")
+        return False
+    if len(sdf_pd) != len(ddf_pd):
+        print(f"FAIL {name}: rowcount spark={len(sdf_pd)} duck={len(ddf_pd)}")
+        return False
+    try:
+        s, d = canon(sdf_pd), canon(ddf_pd)
+    except TypeError as e:
+        print(f"FAIL {name}: canonicalize error (driver would err too): {e}")
+        return False
+    sc, dc = cells(s), cells(d)
+    if sc != dc:
+        # sorted-row order may legitimately differ when values differ; diff sets
+        sset, dset = set(sc), set(dc)
+        print(f"FAIL {name}: value mismatch")
+        print("  spark-only:", sorted(sset - dset)[:2])
+        print("  duck-only :", sorted(dset - sset)[:2])
+        return False
+    kinds_s = [s[c].dtype.kind for c in s.columns]
+    kinds_d = [d[c].dtype.kind for c in d.columns]
+    if kinds_s != kinds_d:
+        print(
+            f"WARN {name}: dtype kinds differ spark={list(zip(s.columns, kinds_s))} "
+            f"duck={list(zip(d.columns, kinds_d))} (values identical)"
+        )
+    return True
 
 
 def main() -> int:
@@ -67,47 +87,34 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            sdf_pd = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only check, {len(srows)} rows (no oracle)")
-            if len(srows) == 0:
+            print(f"ok   {name}: rows-only check, {len(sdf_pd)} rows (no oracle)")
+            if len(sdf_pd) == 0:
                 print(f"WARN {name}: zero rows")
+            # the driver still canonicalizes rows-only results: fail on
+            # unhashable cells here rather than in CORRECTNESS_r{N}
+            try:
+                canon(sdf_pd)
+            except TypeError as e:
+                print(f"FAIL {name}: rows-only canonicalize error: {e}")
+                failures += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            ddf_pd = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        ok = True
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            ok = False
-        elif len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
-            ok = False
-        else:
-            sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
-            if sh != dh:
-                print(f"FAIL {name}: value hash spark={sh} duck={dh}")
-                # show a few diffs
-                sset = {tuple(norm_cell(c) for c in r) for r in srows}
-                dset = {tuple(norm_cell(c) for c in r) for r in drows}
-                print("  spark-only:", list(sset - dset)[:2])
-                print("  duck-only :", list(dset - sset)[:2])
-                ok = False
-        if ok:
-            print(f"PASS {name}: {len(srows)} rows")
+        if compare(name, sdf_pd, ddf_pd):
+            print(f"PASS {name}: {len(sdf_pd)} rows")
         else:
             failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return failures
 
 
