@@ -1,4 +1,9 @@
-from arroyo_spark.operators.map import run_task, run_task_pandas  # noqa: F401
+from arroyo_spark.operators.map import (  # noqa: F401
+    INVALID_REASON_COL,
+    run_task,
+    run_task_pandas,
+    run_task_safe,
+)
 from arroyo_spark.operators.filter import filter_step  # noqa: F401
 from arroyo_spark.operators.explode import unfold, unbatch  # noqa: F401
 from arroyo_spark.operators.reduce import (  # noqa: F401

@@ -63,15 +63,93 @@ def asof_join(
     right_ts: str = "ts",
     tolerance_s: float | None = None,
     right_cols: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+    impl: str = "window",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    right.ts <= left.ts within the same key (pd.merge_asof per group).
+    right.ts <= left.ts within the same key.
 
-    Spark lacks a native as-of join; this is the documented pattern
-    (pyspark guide 'As-of / range join'): applyInPandas per key group.
-    Each group is one conversation — small by construction, so the Arrow
-    batches stay bounded even at 10^12 total turns.
+    Output: every left column plus ``r_<c>`` for each right payload column
+    (null when no right row qualifies).
+
+    Default plan (``impl="window"``) is pure JVM: union-tag both sides,
+    then ``last(struct(right cols), ignorenulls=True)`` over a
+    (key ORDER BY ts, side, *tie_breakers) running window — one shuffle +
+    sort, whole-stage-codegen'd, no per-group size cliff (a 10^6-turn bot
+    conversation is just more rows in a sorted partition, never one giant
+    Arrow batch). ``tie_breakers`` (right-side columns) make the pick
+    deterministic among right rows sharing a timestamp: the LAST row in
+    ascending tie-breaker order wins, matching both ``pd.merge_asof``'s
+    latest-row semantics and a ``last_value(... IGNORE NULLS)`` SQL oracle
+    ordered by (ts, *tie_breakers).
+
+    ``impl="pandas"`` keeps the per-group ``pd.merge_asof`` cogroup as the
+    generality escape hatch (e.g. nearest-direction variants); groups are
+    whole conversations, so it carries an unbounded-group risk the window
+    plan doesn't have.
     """
+    if impl == "window":
+        return _asof_join_window(
+            left, right, key, left_ts, right_ts, tolerance_s, right_cols, tie_breakers
+        )
+    return _asof_join_pandas(
+        left, right, key, left_ts, right_ts, tolerance_s, right_cols, tie_breakers
+    )
+
+
+def _asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: float | None,
+    right_cols: list[str] | None,
+    tie_breakers: list[str] | None,
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    rcols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    lcols = list(left.columns)
+    tbs = tie_breakers or []
+
+    l2 = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r2 = right.select(
+        F.col(key),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ats"),
+        F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in rcols]).alias("_rpay"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tbs)],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), *[f"_tb{i}" for i in range(len(tbs))])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        in_window = (
+            F.col("_ats").cast("timestamp").cast("double")
+            - F.col("_match._rts").cast("timestamp").cast("double")
+        ) <= F.lit(float(tolerance_s))
+        filled = filled.withColumn("_match", F.when(in_window, F.col("_match")))
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_match.{c}").alias(f"r_{c}") for c in rcols]
+    )
+
+
+def _asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: float | None,
+    right_cols: list[str] | None,
+    tie_breakers: list[str] | None,
+) -> DataFrame:
+    """pd.merge_asof per key group (cogroup + applyInPandas)."""
     import pandas as pd
 
     # Re-alias every column (fresh expression IDs): when left and right
@@ -97,7 +175,9 @@ def asof_join(
                 out[f"r_{c}"] = None
             return out
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
-        rpdf = rpdf.sort_values(right_ts, kind="mergesort").rename(
+        # tie_breakers make the pick among equal-ts right rows deterministic
+        # (merge_asof keeps the LAST right row at each timestamp)
+        rpdf = rpdf.sort_values([right_ts, *(tie_breakers or [])], kind="mergesort").rename(
             columns={right_ts: left_ts, **{c: f"r_{c}" for c in rcols}}
         )
         merged = pd.merge_asof(

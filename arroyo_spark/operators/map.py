@@ -60,3 +60,67 @@ def run_task_pandas(
             yield fn(pdf)
 
     return df.mapInPandas(_apply, schema=out_schema)
+
+
+# column that carries a mid-pipeline InvalidMessage reason (null = valid).
+# The reference raises InvalidMessage(partition, offset) from ANY strategy
+# and the DLQ produces the ORIGINAL raw message
+# (/root/reference/arroyo/dlq.py:36-77, buffered originals :280-364).
+# Spark mapping: transforms write results to NEW columns, keep the original
+# payload column untouched, and record failures here; the exactly-once sink
+# routes reason-carrying rows (originals intact) to the DLQ while the epoch
+# still commits.
+INVALID_REASON_COL = "_invalid_reason"
+
+
+def run_task_safe(
+    df: DataFrame,
+    fn: Callable[["pd.DataFrame"], "pd.DataFrame"],
+    out_cols: dict[str, str],
+) -> DataFrame:
+    """RunTask with InvalidMessage capture (the reference's poison-row path).
+
+    ``fn`` maps an input pandas batch to a frame with columns ``out_cols``
+    (name -> spark type). Fast path: one call per Arrow batch. If the batch
+    raises, falls back to row-at-a-time within that batch only — failing
+    rows get null outputs and their exception recorded in
+    ``_invalid_reason``; all ORIGINAL input columns pass through unchanged,
+    so the DLQ receives the original payload, not a half-transformed one.
+    """
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    extra = ", ".join(f"{name} {typ}" for name, typ in out_cols.items())
+    out_schema = f"{in_schema}, {extra}, {INVALID_REASON_COL} string"
+    names = list(out_cols)
+
+    def _apply(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            try:
+                res = fn(pdf)
+                for n in names:
+                    out[n] = res[n].to_numpy() if hasattr(res[n], "to_numpy") else res[n]
+                out[INVALID_REASON_COL] = None
+            except Exception:
+                # poison batch: isolate the failing rows (reference analog:
+                # InvalidMessage identifies a single original offset)
+                vals: dict[str, list] = {n: [] for n in names}
+                reasons: list[str | None] = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i : i + 1].reset_index(drop=True)
+                    try:
+                        r = fn(row)
+                        for n in names:
+                            vals[n].append(r[n].iloc[0] if hasattr(r[n], "iloc") else r[n])
+                        reasons.append(None)
+                    except Exception as e:  # noqa: BLE001
+                        for n in names:
+                            vals[n].append(None)
+                        reasons.append(f"{type(e).__name__}: {e}")
+                for n in names:
+                    out[n] = pd.Series(vals[n], dtype="object")
+                out[INVALID_REASON_COL] = reasons
+            yield out
+
+    return df.mapInPandas(_apply, schema=out_schema)

@@ -471,7 +471,13 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_event_id"), "ts"
     )
-    out = asof_join(purchases, clicks, key="user_id", right_cols=["click_event_id"])
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        right_cols=["click_event_id"],
+        tie_breakers=["click_event_id"],
+    )
     return out.select(
         F.col("event_id").alias("purchase_event_id"), "user_id", "r_click_event_id"
     )

@@ -13,3 +13,17 @@ from arroyo_spark.streaming.dlq import (  # noqa: F401
 )
 from arroyo_spark.streaming.sink import ExactlyOnceSink  # noqa: F401
 from arroyo_spark.streaming.processor import FileStreamSource, StreamProcessor  # noqa: F401
+from arroyo_spark.streaming.sources import (  # noqa: F401
+    StreamSource,
+    file_source,
+    iceberg_source,
+    kafka_source,
+    rate_source,
+)
+from arroyo_spark.streaming.produce import (  # noqa: F401
+    PipeTopic,
+    kafka_writer,
+    produce_chain,
+    to_kafka_records,
+)
+from arroyo_spark.streaming.metrics import METRIC_MAP, progress_metrics  # noqa: F401

@@ -35,8 +35,14 @@ class CommitPolicy:
                 "Must provide either min_commit_frequency_sec or min_commit_messages"
             )
 
-    def get_state_machine(self, now: float = 0.0) -> "CommitPolicyState":
-        return CommitPolicyState(self, _last_committed_time=now)
+    def get_state_machine(self, now: float | None = None) -> "CommitPolicyState":
+        """State machine clocked from ``now`` (default: wall clock at
+        creation — the reference initializes __last_committed_time to
+        time.time(), so a frequency-only policy waits a full interval
+        before its first commit)."""
+        import time
+
+        return CommitPolicyState(self, _last_committed_time=time.time() if now is None else now)
 
     def trigger_interval(self) -> str | None:
         """Suggested streaming trigger for this policy (None = as-fast-as-possible)."""

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from arroyo_spark.streaming.commit import CommitPolicy
 from arroyo_spark.streaming.sink import ExactlyOnceSink
 
 
@@ -61,21 +62,37 @@ class StreamProcessor:
     checkpoint_dir: str
     pipeline: Callable[[DataFrame], DataFrame] | None = None
     trigger: dict | None = None
-    output_mode: str = "update"
+    # append: sink.read_output unions committed epoch dirs, so each group key
+    # must be emitted exactly once (update mode would re-emit live windows
+    # every epoch and read_output would return stale duplicates)
+    output_mode: str = "append"
     query_name: str = "arroyo_spark"
+    commit_policy: CommitPolicy | None = None
     _query: object = field(default=None, repr=False)
 
     def start(self):
         df = self.source(self.spark)
         if self.pipeline is not None:
             df = self.pipeline(df)
+        if self.commit_policy is not None and self.sink.commit_policy is None:
+            # the policy throttles offset-commit cadence: wire the same
+            # policy into the sink's flush state machine
+            self.sink.set_commit_policy(self.commit_policy)
         writer = (
             df.writeStream.queryName(self.query_name)
             .foreachBatch(self.sink)
             .outputMode(self.output_mode)
             .option("checkpointLocation", self.checkpoint_dir)
         )
-        trigger = self.trigger if self.trigger is not None else {"availableNow": True}
+        trigger = self.trigger
+        if trigger is None:
+            interval = (
+                self.commit_policy.trigger_interval() if self.commit_policy is not None else None
+            )
+            # a frequency policy maps to a processing-time trigger (epochs —
+            # hence ledger commits — happen at most once per interval);
+            # otherwise drain everything available and stop
+            trigger = {"processingTime": interval} if interval else {"availableNow": True}
         writer = writer.trigger(**trigger)
         self._query = writer.start()
         return self._query

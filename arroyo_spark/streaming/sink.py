@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arroyo_spark.streaming.commit import CommitPolicy
 from arroyo_spark.streaming.dlq import (
     DlqLimit,
     DlqLimitState,
@@ -42,11 +43,26 @@ class ExactlyOnceSink:
     dlq_limit: DlqLimit | None = None
     reason: str = "invalid"
     payload_col: str = "text"
+    commit_policy: "CommitPolicy | None" = None
+    clock: Callable[[], float] = time.time
     _dlq_state: DlqLimitState | None = field(default=None, repr=False)
+    _policy_state: object = field(default=None, repr=False)
+    n_policy_commits: int = field(default=0, repr=False)
 
     def __post_init__(self) -> None:
         if self.dlq_limit is not None:
             self._dlq_state = DlqLimitState(self.dlq_limit)
+        if self.commit_policy is not None:
+            self.set_commit_policy(self.commit_policy)
+
+    def set_commit_policy(self, policy: "CommitPolicy") -> None:
+        """Wire an offset-commit throttling policy (reference CommitPolicy,
+        /root/reference/arroyo/commit.py:10-58). The ledger row is still
+        written per epoch (exactly-once requires it); the policy gates the
+        *offset flush* cadence — the observable should_commit/did_commit
+        contract that the reference goldens assert."""
+        self.commit_policy = policy
+        self._policy_state = policy.get_state_machine(now=self.clock())
 
     # -- paths ---------------------------------------------------------
     def data_dir(self, epoch_id: int) -> str:
@@ -63,16 +79,23 @@ class ExactlyOnceSink:
         batch_df = batch_df.persist()
         try:
             has_lineage = "partition" in batch_df.columns and "offset" in batch_df.columns
-            n_total = batch_df.count()
 
+            # ONE action for count + per-partition next-offsets + max event
+            # time: per-epoch driver actions are serial cost that caps
+            # scaling efficiency — never spend two passes where one works
             next_offsets: dict[int, int] = {}
             max_ts = None
             if has_lineage:
                 stats = (
                     batch_df.groupBy("partition")
-                    .agg((F.max("offset") + 1).alias("no"), F.max("ts").alias("mts"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        (F.max("offset") + 1).alias("no"),
+                        F.max("ts").alias("mts"),
+                    )
                     .collect()
                 )
+                n_total = sum(r["n"] for r in stats)
                 for r in stats:
                     next_offsets[r["partition"]] = r["no"]
                     if r["mts"] is not None:
@@ -81,21 +104,39 @@ class ExactlyOnceSink:
                 # continuous mode (pre-aggregated batches): still record the
                 # consumer-latency metric from any event-time column present
                 ts_col = next((c for c in ("ts", "win_end", "win_start") if c in batch_df.columns), None)
-                if ts_col is not None and n_total:
-                    max_ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
+                if ts_col is not None:
+                    row = batch_df.agg(
+                        F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("mts")
+                    ).collect()[0]
+                    n_total, max_ts = row["n"], row["mts"]
+                else:
+                    n_total = batch_df.count()
 
             n_invalid = 0
             data_in = batch_df
-            if self.valid is not None:
-                data_in, dlq_df = split_dlq(batch_df, self.valid, self.reason, self.payload_col)
+            # mid-pipeline InvalidMessage capture (operators.map.run_task_safe
+            # writes _invalid_reason; originals pass through untouched)
+            from arroyo_spark.operators.map import INVALID_REASON_COL
+
+            captured = INVALID_REASON_COL in batch_df.columns
+            valid_cond = self.valid
+            reason: Column | str = self.reason
+            if captured:
+                is_ok = F.col(INVALID_REASON_COL).isNull()
+                valid_cond = is_ok if valid_cond is None else (valid_cond & is_ok)
+                reason = F.coalesce(F.col(INVALID_REASON_COL), F.lit(self.reason))
+            if valid_cond is not None:
+                data_in, dlq_df = split_dlq(batch_df, valid_cond, reason, self.payload_col)
                 dlq_df = dlq_df.persist()
                 n_invalid = dlq_df.count()
                 if self._dlq_state is not None:
-                    runs = consecutive_invalid_runs(batch_df, self.valid, self._dlq_state)
+                    runs = consecutive_invalid_runs(batch_df, valid_cond, self._dlq_state)
                     self._dlq_state.check_epoch(n_total, n_invalid, runs)  # raises -> epoch fails
                 if n_invalid:
                     dlq_df.write.mode("overwrite").parquet(self.dlq_dir(epoch_id))
                 dlq_df.unpersist()
+            if captured:
+                data_in = data_in.drop(INVALID_REASON_COL)
 
             out = self.transform(data_in) if self.transform is not None else data_in
             out.write.mode("overwrite").parquet(self.data_dir(epoch_id))
@@ -111,13 +152,25 @@ class ExactlyOnceSink:
                 metrics["arroyo.consumer.latency"] = time.time() - calendar.timegm(
                     max_ts.timetuple()
                 )
+            if self._policy_state is not None:
+                now = self.clock()
+                if self._policy_state.should_commit(now, next_offsets):
+                    self._policy_state.did_commit(now, next_offsets)
+                    self.n_policy_commits += 1
+                metrics["arroyo.consumer.commit.count"] = float(self.n_policy_commits)
             self.ledger.commit(epoch_id, next_offsets, metrics)
         finally:
             batch_df.unpersist()
 
     # -- reading back ----------------------------------------------------
     def read_output(self, spark) -> DataFrame:
-        """All committed output rows (uncommitted epoch dirs are excluded)."""
+        """All committed output rows (uncommitted epoch dirs are excluded).
+
+        Contract: valid under APPEND output mode only (the StreamProcessor
+        default) — every group key is emitted exactly once across epochs.
+        Update-mode aggregations re-emit live keys each epoch; unioning
+        epoch dirs would then return stale duplicates.
+        """
         import os
 
         dirs = [self.data_dir(e) for e in self.ledger.epochs()]

@@ -37,14 +37,25 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def flagship_stream_pipeline(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """The north-star pipeline: FilterStep -> RunTask -> watermarked
-    tumbling-window Reduce keyed by conv_id (arroyo #4 -> #1 -> #5)."""
-    from arroyo_spark.functions import normalize_text
+    """The north-star pipeline: FilterStep -> RunTask (per-turn text
+    features: normalize, tokenize, quality, lang-id) -> watermarked
+    tumbling-window Reduce keyed by conv_id (arroyo #4 -> #1 -> #5).
+
+    The per-turn feature block is the engine's real transcript workload
+    (the same functions the text_quality_langid driver query checks) —
+    all JVM column expressions, no Python in the hot path.
+    """
+    from arroyo_spark.functions import lang_id, normalize_text, quality_score
     from arroyo_spark.operators import filter_step, reduce_window, run_task
 
     # normalize once, then tokenize the already-normalized text (plain
     # split — avoids running the regex chain twice per row)
-    cleaned = run_task(filter_step(df, F.col("role") != "system"), text=normalize_text("text"))
+    cleaned = run_task(
+        filter_step(df, F.col("role") != "system"),
+        quality=quality_score("text"),
+        lang=lang_id("text"),
+        text=normalize_text("text"),
+    )
     cleaned = run_task(
         cleaned,
         n_tokens=F.when(F.col("text") == "", 0).otherwise(
@@ -59,13 +70,15 @@ def flagship_stream_pipeline(df: DataFrame, watermark: str = "10 minutes") -> Da
             "n_tools": F.approx_count_distinct("tool"),
             "n_tokens": F.sum("n_tokens"),
             "chars": F.sum(F.length("text")),
+            "avg_quality": F.avg("quality"),
+            "n_en": F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)),
         },
         keys=["conv_id"],
         watermark=watermark,
     )
     return agg.select(
         F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
-        "conv_id", "n_turns", "n_tools", "n_tokens", "chars",
+        "conv_id", "n_turns", "n_tools", "n_tokens", "chars", "avg_quality", "n_en",
     )
 
 

@@ -68,6 +68,49 @@ def test_asof_join_tolerance(spark):
     assert asof_join(left, right, tolerance_s=50).collect()[0].r_event is None
 
 
+def test_asof_window_plan_equals_pandas_plan(spark):
+    """The default JVM window plan and the pd.merge_asof cogroup must agree
+    row-for-row (including keys with no right rows and tolerance)."""
+    from arroyo_spark.synth import transcripts
+
+    t = transcripts(spark, 30, partitions=4, with_lineage=False).cache()
+    left = t.filter(F.col("role") == "assistant").select("conv_id", "turn_idx", "ts")
+    right = t.filter(F.col("role") == "user").select(
+        "conv_id", "ts", F.col("turn_idx").alias("u_turn")
+    )
+    for tol in (None, 20):
+        a = asof_join(
+            left, right, key="conv_id", right_cols=["u_turn"],
+            tie_breakers=["u_turn"], tolerance_s=tol, impl="window",
+        )
+        b = asof_join(
+            left, right, key="conv_id", right_cols=["u_turn"],
+            tie_breakers=["u_turn"], tolerance_s=tol, impl="pandas",
+        )
+        ka = sorted(map(tuple, a.collect()))
+        kb = sorted(map(tuple, b.collect()))
+        assert ka == kb, f"tolerance={tol}"
+    t.unpersist()
+
+
+def test_asof_join_tie_breaker_deterministic(spark):
+    """Among right rows sharing a timestamp, the LAST in ascending
+    tie-breaker order wins (matches an IGNORE-NULLS window oracle ordered
+    by (ts, tie_breaker))."""
+    left = spark.createDataFrame(
+        [("k", 0, T0 + timedelta(seconds=10))], "conv_id string, turn_idx int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", T0, 7), ("k", T0, 3), ("k", T0, 9)],
+        "conv_id string, ts timestamp, event_id int",
+    )
+    for impl in ("window", "pandas"):
+        got = asof_join(
+            left, right, key="conv_id", tie_breakers=["event_id"], impl=impl
+        ).collect()[0]
+        assert got.r_event_id == 9, impl
+
+
 def test_salted_agg_equals_plain_agg(spark):
     df = transcripts(spark, 500, with_lineage=False, hot_ratio=100, hot_turns=300)
     plain = {

@@ -27,7 +27,7 @@ def main() -> None:
     # one epoch = 32 files = 32 scan tasks: parquet row groups don't split,
     # so scan parallelism comes from file count (a real broker/Iceberg
     # source brings its own partitioning)
-    p.add_argument("--max-files-per-trigger", type=int, default=64)
+    p.add_argument("--max-files-per-trigger", type=int, default=128)
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -44,14 +44,23 @@ def main() -> None:
     # size so the scan fans out: the default 128m maxPartitionBytes
     # bin-packs the ~12MB stream files into <8 scan tasks, capping the map
     # side at BOTH levels (measured: identical epoch times at 8 vs 32 cores).
+    extra_conf = {
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        # don't let AQE coalesce per-epoch output writes into one task —
+        # a single-task write is a serial segment every epoch
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+    }
+    # experiment knobs: SCALING_CONF="k=v;k=v"
+    for kv in os.environ.get("SCALING_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra_conf[k.strip()] = v.strip()
     spark = get_spark(
         f"scaling_{args.cores}",
         cores=args.cores,
-        shuffle_partitions=32,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(1024 * 1024),
-        },
+        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE", "32")),
+        extra_conf=extra_conf,
     )
     work = f"{args.workdir}/c{args.cores}"
     shutil.rmtree(work, ignore_errors=True)
@@ -59,23 +68,46 @@ def main() -> None:
 
     n_turns = spark.read.schema(STREAM_SCHEMA).parquet(args.source).count()
 
+    # warm codegen/JIT before timing (identical cost at every level; the
+    # first micro-batch otherwise carries ~10-15s of one-time compilation
+    # that skews the throughput ratio): run both pipelines in BATCH mode
+    # over one input slice each
+    import glob as _glob
+
+    warm_turns = spark.read.schema(STREAM_SCHEMA).parquet(
+        sorted(_glob.glob(f"{args.source}/*.parquet"))[0]
+    )
+    warm_calls = spark.read.schema(TOOL_CALL_SCHEMA).parquet(
+        sorted(_glob.glob(f"{args.calls}/*.parquet"))[0]
+    )
+    flagship_stream_pipeline(warm_turns).count()
+    stream_correlate(warm_turns, warm_calls).count()
+
     t0 = time.time()
-    # stage 1: watermarked windowed aggregation, exactly-once sink
+    # The two queries run CONCURRENTLY in one session — the standard
+    # deployment shape (a real cluster runs many consumers of the same
+    # stream at once, and Structured Streaming schedules their micro-batches
+    # cooperatively). It is also what makes the job scale: the windowed agg
+    # is CPU-bound while the stream-stream join is state-store-latency-bound
+    # (measured ~8 busy cores at local[16] when run alone) — concurrent
+    # execution overlaps the join's I/O waits under the agg's compute.
+    # query 1: watermarked windowed aggregation, exactly-once sink
     ledger = OffsetsLedger(work, "agg")
     sink = ExactlyOnceSink(output_dir=f"{work}/agg", ledger=ledger)
-    StreamProcessor(
+    proc1 = StreamProcessor(
         spark=spark,
         source=FileStreamSource(args.source, STREAM_SCHEMA, args.max_files_per_trigger),
         sink=sink,
         checkpoint_dir=f"{work}/agg/ckpt",
         pipeline=lambda df: flagship_stream_pipeline(df, watermark="10 minutes"),
         output_mode="append",
-    ).run_until_complete()
+        query_name="agg",
+    )
 
-    # stage 2: stateful turn<->tool-call stream-stream join, exactly-once sink
+    # query 2: stateful turn<->tool-call stream-stream join, exactly-once sink
     ledger2 = OffsetsLedger(work, "join")
     sink2 = ExactlyOnceSink(output_dir=f"{work}/join", ledger=ledger2)
-    StreamProcessor(
+    proc2 = StreamProcessor(
         spark=spark,
         source=lambda s: stream_correlate(
             FileStreamSource(args.source, STREAM_SCHEMA, args.max_files_per_trigger)(s),
@@ -88,7 +120,13 @@ def main() -> None:
         sink=sink2,
         checkpoint_dir=f"{work}/join/ckpt",
         output_mode="append",
-    ).run_until_complete()
+        query_name="join",
+    )
+
+    q1, q2 = proc1.start(), proc2.start()
+    q1.awaitTermination()
+    t_stage1 = time.time() - t0
+    q2.awaitTermination()
     elapsed = time.time() - t0
 
     join_rows = sink2.read_output(spark).count()
@@ -98,6 +136,8 @@ def main() -> None:
             {
                 "cores": args.cores,
                 "elapsed_s": round(elapsed, 2),
+                "agg_drained_s": round(t_stage1, 2),
+                "join_drained_s": round(elapsed, 2),
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / elapsed, 1),
                 "agg_rows": agg_rows,
