@@ -165,6 +165,62 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize into ``n_cells`` cells, search the
+    query's ``n_probe`` closest cells only.
+
+    The coarse quantizer is deterministic and training-free: the first
+    ``n_cells`` vectors act as (spherical) centroids — the IVF structure
+    (assign -> probe -> exact re-rank within cells) is what matters; a
+    k-means fit would only move the centroids, not the plan. Costs:
+    assignment is a broadcast N x K scan (linear in N, K constant); the
+    search join is hash-partitioned on cell id — each query competes
+    against ~N/n_cells * n_probe candidates instead of N. Recall is
+    tunable via n_probe. Scale path alternative to ``lsh_ann_topk``.
+    """
+    from pyspark.sql import Window as W
+
+    dim = _infer_dim(df, vec_col)
+    v = with_norm(df, vec_col, dim).select(
+        F.col(id_col).alias("_id"), F.col("_vec"), F.col("_norm")
+    )
+    cents = v.filter(F.col("_id") < n_cells).select(
+        F.col("_id").alias("cell"), F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    sim = _dot(F.col("_vec"), F.col("_cv"), dim) / (F.col("_norm") * F.col("_cn"))
+    pw = W.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell"))
+    assign = (
+        v.join(F.broadcast(cents))
+        .withColumn("_sim", sim)
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= n_probe)
+        .select("_id", "cell", "_pr", "_vec", "_norm")
+    )
+    base = assign.filter(F.col("_pr") == 1).select(
+        F.col("_id").alias("neighbor_id"), "cell", F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
+    )
+    probes = assign.select(
+        F.col("_id").alias("query_id"), "cell", F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    pairs = probes.join(base, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_bv"), dim) / (F.col("_qn") * F.col("_bn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

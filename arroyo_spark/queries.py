@@ -905,6 +905,72 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_ann_topk",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v WHERE vec_id < 16
+), assign AS (
+  SELECT v.vec_id, c.cell, v.e, v.nrm,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cn) DESC, c.cell) AS pr
+  FROM v CROSS JOIN c
+), base AS (
+  SELECT vec_id AS neighbor_id, cell, e AS be, nrm AS bn FROM assign WHERE pr = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell, e AS qe, nrm AS qn FROM assign WHERE pr <= 2
+), scored AS (
+  SELECT p.query_id, b.neighbor_id,
+         list_dot_product(p.qe, b.be) / (p.qn * b.bn) AS cosine
+  FROM probes p JOIN base b ON p.cell = b.cell AND p.query_id <> b.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: broadcast coarse-quantize into 16 cells, search
+    the 2 closest cells per query, exact re-rank within candidates."""
+    from arroyo_spark.operators.similarity import ivf_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(e, k=5, n_cells=16, n_probe=2)
+
+
+@query(
+    "embedding_dup_pairs",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(6, 64)} AS int) AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+""",
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign-LSH buckets (the
+    dedup flavor of the ANN scale path). Threshold 0.3 fits the synthetic
+    embeddings (uniform vectors — max pairwise cosine ~0.5); production
+    near-dup thresholds (0.9+) are a parameter, not a code path."""
+    from arroyo_spark.operators.similarity import embedding_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.3, n_planes=6)
+
+
+@query(
     "multimodal_features",
     """
 WITH h AS (

@@ -109,6 +109,30 @@ def test_lsh_ann_subset_of_exact_ranking(spark):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    from arroyo_spark.operators.similarity import ivf_ann_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(e, k=3).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_ann_topk(e, k=3, n_cells=8, n_probe=3).collect()}
+    assert approx, "ivf returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # IVF with 3 of 8 cells probed must recover a substantial share of the
+    # true top-3 (deterministic data+centroids -> deterministic recall)
+    assert recall >= 0.5, recall
+    # and within-candidate ranking is exact: every reported list is sorted
+    by_q = {}
+    for r in ivf_ann_topk(e, k=3, n_cells=8, n_probe=3).collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for rs in by_q.values():
+        rs.sort()
+        cos = [c for _, c in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
 def test_multimodal_media_and_features(spark):
     import hashlib
 
