@@ -912,7 +912,7 @@ WITH v AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ), c AS (
-  SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v WHERE vec_id < 16
+  SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v WHERE vec_id < 128
 ), assign AS (
   SELECT v.vec_id, c.cell, v.e, v.nrm,
          row_number() OVER (PARTITION BY v.vec_id
@@ -935,12 +935,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """,
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: broadcast coarse-quantize into 16 cells, search
+    """IVF ANN scale path: broadcast coarse-quantize into 128 cells, search
     the 2 closest cells per query, exact re-rank within candidates."""
     from arroyo_spark.operators.similarity import ivf_ann_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(e, k=5, n_cells=16, n_probe=2)
+    return ivf_ann_topk(e, k=5, n_cells=128, n_probe=2)
 
 
 @query(
@@ -951,7 +951,7 @@ WITH v AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ), vb AS (
-  SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(6, 64)} AS int) AS bucket FROM v
+  SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
@@ -967,7 +967,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.similarity import embedding_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.3, n_planes=6)
+    return embedding_dup_pairs(e, threshold=0.3, n_planes=8)
 
 
 @query(
