@@ -82,10 +82,16 @@ def run_task_safe(
 
     ``fn`` maps an input pandas batch to a frame with columns ``out_cols``
     (name -> spark type). Fast path: one call per Arrow batch. If the batch
-    raises, falls back to row-at-a-time within that batch only — failing
-    rows get null outputs and their exception recorded in
-    ``_invalid_reason``; all ORIGINAL input columns pass through unchanged,
-    so the DLQ receives the original payload, not a half-transformed one.
+    raises, the batch is BISECTED: each half retries as a whole, recursing
+    until single rows — failing rows get null outputs and their exception
+    recorded in ``_invalid_reason``; all ORIGINAL input columns pass through
+    unchanged, so the DLQ receives the original payload, not a
+    half-transformed one.
+
+    ``fn`` MUST be pure (no side effects): rows sharing a batch with a
+    poison row are re-executed during bisection (each healthy row at most
+    O(log batch) times, vs O(1 whole-batch + n single-row) calls under the
+    old per-row fallback).
     """
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     extra = ", ".join(f"{name} {typ}" for name, typ in out_cols.items())
@@ -95,6 +101,25 @@ def run_task_safe(
     def _apply(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def _run(pdf: "pd.DataFrame") -> tuple[dict[str, list], list]:
+            """(out_col -> values, reasons) for pdf, bisecting on failure."""
+            try:
+                res = fn(pdf)
+                vals = {
+                    n: list(res[n].to_numpy() if hasattr(res[n], "to_numpy") else res[n])
+                    for n in names
+                }
+                return vals, [None] * len(pdf)
+            except Exception as e:  # noqa: BLE001
+                if len(pdf) <= 1:
+                    return {n: [None] * len(pdf) for n in names}, [
+                        f"{type(e).__name__}: {e}"
+                    ] * len(pdf)
+                mid = len(pdf) // 2
+                lv, lr = _run(pdf.iloc[:mid].reset_index(drop=True))
+                rv, rr = _run(pdf.iloc[mid:].reset_index(drop=True))
+                return {n: lv[n] + rv[n] for n in names}, lr + rr
+
         for pdf in batches:
             out = pdf.copy()
             try:
@@ -103,21 +128,9 @@ def run_task_safe(
                     out[n] = res[n].to_numpy() if hasattr(res[n], "to_numpy") else res[n]
                 out[INVALID_REASON_COL] = None
             except Exception:
-                # poison batch: isolate the failing rows (reference analog:
-                # InvalidMessage identifies a single original offset)
-                vals: dict[str, list] = {n: [] for n in names}
-                reasons: list[str | None] = []
-                for i in range(len(pdf)):
-                    row = pdf.iloc[i : i + 1].reset_index(drop=True)
-                    try:
-                        r = fn(row)
-                        for n in names:
-                            vals[n].append(r[n].iloc[0] if hasattr(r[n], "iloc") else r[n])
-                        reasons.append(None)
-                    except Exception as e:  # noqa: BLE001
-                        for n in names:
-                            vals[n].append(None)
-                        reasons.append(f"{type(e).__name__}: {e}")
+                # poison batch: bisect to isolate the failing rows (reference
+                # analog: InvalidMessage identifies a single original offset)
+                vals, reasons = _run(pdf.reset_index(drop=True))
                 for n in names:
                     out[n] = pd.Series(vals[n], dtype="object")
                 out[INVALID_REASON_COL] = reasons

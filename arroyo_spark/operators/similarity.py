@@ -101,7 +101,7 @@ def hyperplane_weight(seed: int, plane: int, dim_idx: int) -> float:
 
 
 def hyperplane_sign_bucket(
-    vec_col: Column, n_planes: int = 8, dim: int | None = None, seed: int = 0
+    vec_col: Column | str, n_planes: int = 8, dim: int | None = None, seed: int = 0
 ) -> Column:
     """Deterministic random-hyperplane bucket id for a vector column.
 
@@ -110,21 +110,51 @@ def hyperplane_sign_bucket(
     bucket costs n_planes statically-expanded dot products (codegen'd) —
     no per-element hashing in the hot path. Returns an int in
     [0, 2^n_planes).
+
+    Built as ONE SQL string through ``F.expr``: composing the ~n_planes*dim
+    terms with Column operators costs one Py4J round-trip per node (~3.2s
+    measured for 8x64 — pure driver overhead, tripled for multiband); the
+    JVM SQL parser handles the same tree in milliseconds. The arithmetic is
+    term-for-term identical to the old Column composition (sequential
+    left-to-right adds), so results and oracle parity are unchanged.
     """
     if dim is None:
         raise ValueError("hyperplane_sign_bucket needs a static dim (use _infer_dim)")
-    v = vec_col.cast("array<double>")
+    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    v = f"cast(`{name}` as array<double>)"
 
-    def plane_bit(p: int) -> Column:
-        proj = F.element_at(v, 1) * F.lit(hyperplane_weight(seed, p, 0))
-        for d in range(1, dim):
-            proj = proj + F.element_at(v, d + 1) * F.lit(hyperplane_weight(seed, p, d))
-        return F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    def plane_term(p: int) -> str:
+        proj = " + ".join(
+            f"(element_at({v}, {d + 1}) * {hyperplane_weight(seed, p, d):.1f}D)"
+            for d in range(dim)
+        )
+        return f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)"
 
-    bucket = plane_bit(0)
-    for p in range(1, n_planes):
-        bucket = bucket + plane_bit(p)
-    return bucket
+    return F.expr(" + ".join(plane_term(p) for p in range(n_planes)))
+
+
+def _cap_buckets(
+    b: DataFrame, max_bucket_size: int | None, *bucket_cols: str
+) -> DataFrame:
+    """Drop rows in degenerate buckets (> max_bucket_size members).
+
+    A sign-LSH bucket of B members costs O(B²) in the pair join — one
+    pathological bucket (constant/zero embeddings, which scraped corpora
+    contain in bulk) is a scale-killer at 10⁹ vectors. The cap makes worst-
+    case per-bucket cost a constant: overflow buckets are excluded from the
+    bucketed search and should be routed to a denser partitioner (more
+    planes, or ``ivf_ann_topk`` whose per-cell cost is bounded by N/n_cells)
+    — same contract as ``dedup.minhash_candidates(max_bucket_size=...)``.
+    """
+    from pyspark.sql import Window as W
+
+    if max_bucket_size is None:
+        return b
+    return (
+        b.withColumn("_bucket_n", F.count(F.lit(1)).over(W.partitionBy(*bucket_cols)))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
 
 
 def lsh_ann_topk(
@@ -134,12 +164,15 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 0,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH sign buckets.
 
     Vectors only compete inside their bucket — recall < 1 by design;
     increase recall with fewer planes (bigger buckets) or multiple seeds
-    (band OR-ing, union + re-rank).
+    (band OR-ing, union + re-rank: ``lsh_ann_topk_multiband``). Buckets
+    larger than ``max_bucket_size`` are dropped from the search entirely
+    (degenerate-bucket guard, see ``_cap_buckets``).
     """
     from pyspark.sql import Window as W
 
@@ -147,6 +180,7 @@ def lsh_ann_topk(
     b = with_norm(df, vec_col, dim).withColumn(
         "bucket", hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed)
     )
+    b = _cap_buckets(b, max_bucket_size, "bucket")
     a = b.select(
         "bucket", F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
     )
@@ -176,10 +210,13 @@ def ivf_ann_topk(
     """IVF-style ANN: coarse quantize into ``n_cells`` cells, search the
     query's ``n_probe`` closest cells only.
 
-    The coarse quantizer is deterministic and training-free: the first
-    ``n_cells`` vectors act as (spherical) centroids — the IVF structure
-    (assign -> probe -> exact re-rank within cells) is what matters; a
-    k-means fit would only move the centroids, not the plan. Costs:
+    The coarse quantizer is deterministic and training-free: the ``n_cells``
+    LOWEST-id vectors act as (spherical) centroids — rank-based selection
+    (orderBy(id).limit(n_cells) = a distributed TakeOrdered, no full sort),
+    so sparse or offset id spaces still yield exactly n_cells centroids.
+    The IVF structure (assign -> probe -> exact re-rank within cells) is
+    what matters; a k-means fit would only move the centroids, not the
+    plan. Costs:
     assignment is a broadcast N x K scan (linear in N, K constant); the
     search join is hash-partitioned on cell id — each query competes
     against ~N/n_cells * n_probe candidates instead of N. Recall is
@@ -191,8 +228,10 @@ def ivf_ann_topk(
     v = with_norm(df, vec_col, dim).select(
         F.col(id_col).alias("_id"), F.col("_vec"), F.col("_norm")
     )
-    cents = v.filter(F.col("_id") < n_cells).select(
-        F.col("_id").alias("cell"), F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn")
+    cents = (
+        v.orderBy("_id")
+        .limit(n_cells)
+        .select(F.col("_id").alias("cell"), F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn"))
     )
     sim = _dot(F.col("_vec"), F.col("_cv"), dim) / (F.col("_norm") * F.col("_cn"))
     pw = W.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell"))
@@ -221,6 +260,77 @@ def ivf_ann_topk(
     )
 
 
+def lsh_ann_topk_multiband(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_bands: int = 3,
+    seed: int = 0,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Multi-band sign-LSH ANN: OR over ``n_bands`` independent hyperplane
+    sets, union the candidate pairs, exact cosine re-rank.
+
+    Single-band recall at 8 planes is the scale path's weakest number
+    (~0.5-0.6 at k=5 on uniform vectors); each extra band multiplies the
+    miss probability — 3 bands lift recall to ~0.9 for ~3x the candidate
+    work (still << brute force). Candidates are deduped on (query,
+    neighbor) BEFORE scoring, so a pair colliding in several bands is
+    scored once. Per-band buckets are capped like ``lsh_ann_topk``.
+
+    Output: (query_id, neighbor_id, cosine, rank) — no bucket column (a
+    pair may come from any band).
+    """
+    from pyspark.sql import Window as W
+
+    from functools import reduce
+
+    dim = _infer_dim(df, vec_col)
+    v = with_norm(df, vec_col, dim)
+    # one bucket stream per band: band b's hyperplanes use seed+b, so the
+    # ±1 weight sets are independent md5 draws. A UNION of per-band
+    # projections, NOT posexplode(array(...)): stacking all n_bands
+    # statically-expanded bucket expressions (n_bands * n_planes * dim
+    # terms) into one Generate blows janino's 64KB method limit and drops
+    # the whole stage to interpreted eval — each union branch stays within
+    # codegen limits (measured: single 8x64 expression codegens fine).
+    buckets = reduce(
+        DataFrame.unionAll,
+        [
+            v.select(
+                F.col(id_col).alias("_id"),
+                F.lit(b).alias("band"),
+                hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed + b).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(n_bands)
+        ],
+    )
+    buckets = _cap_buckets(buckets, max_bucket_size, "band", "bucket")
+    a = buckets.select("band", "bucket", F.col("_id").alias("query_id"))
+    c = buckets.select("band", "bucket", F.col("_id").alias("neighbor_id"))
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vq = v.select(F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"))
+    vn = v.select(F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
+    scored = cand.join(vq, "query_id").join(vn, "neighbor_id").withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_bv"), dim) / (F.col("_qn") * F.col("_bn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -228,12 +338,16 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 6,
     seed: int = 0,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (>= threshold) within LSH buckets."""
+    """Embedding-cosine near-duplicate pairs (>= threshold) within LSH
+    buckets. Buckets over ``max_bucket_size`` are dropped (degenerate-bucket
+    guard, see ``_cap_buckets``) — route overflow to more planes or IVF."""
     dim = _infer_dim(df, vec_col)
     b = with_norm(df, vec_col, dim).withColumn(
         "bucket", hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed)
     )
+    b = _cap_buckets(b, max_bucket_size, "bucket")
     a = b.select("bucket", F.col(id_col).alias("id_a"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"))
     c = b.select("bucket", F.col(id_col).alias("id_b"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))

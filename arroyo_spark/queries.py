@@ -881,6 +881,7 @@ WITH v AS (
   FROM embeddings
 ), vb AS (
   SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000
 ), scored AS (
   SELECT q.vec_id AS query_id, q.bucket AS bucket, b.vec_id AS neighbor_id,
          list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS cosine
@@ -912,7 +913,7 @@ WITH v AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ), c AS (
-  SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v WHERE vec_id < 128
+  SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v ORDER BY vec_id LIMIT 128
 ), assign AS (
   SELECT v.vec_id, c.cell, v.e, v.nrm,
          row_number() OVER (PARTITION BY v.vec_id
@@ -944,6 +945,55 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_ann_multiband",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), vb AS (
+  SELECT vec_id,
+         cast({_lsh_bucket_sql(8, 64, seed=0)} AS int) AS b0,
+         cast({_lsh_bucket_sql(8, 64, seed=1)} AS int) AS b1,
+         cast({_lsh_bucket_sql(8, 64, seed=2)} AS int) AS b2
+  FROM v
+), bands AS (
+  SELECT vec_id, 0 AS band, b0 AS bucket FROM vb
+  UNION ALL SELECT vec_id, 1, b1 FROM vb
+  UNION ALL SELECT vec_id, 2, b2 FROM vb
+), capped AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000
+), cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM capped a JOIN capped c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS cosine
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v n ON n.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_lsh_ann_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band sign-LSH ANN (OR over 3 independent hyperplane sets,
+    union candidates, exact re-rank): the recall-recovery path for the
+    8-plane single-band search — each extra band multiplies the miss
+    probability, ~0.9 recall at 3 bands for ~3x candidate work."""
+    from arroyo_spark.operators.similarity import lsh_ann_topk_multiband
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk_multiband(e, k=5, n_planes=8, n_bands=3)
+
+
+@query(
     "embedding_dup_pairs",
     f"""
 WITH v AS (
@@ -952,6 +1002,7 @@ WITH v AS (
   FROM embeddings
 ), vb AS (
   SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine

@@ -27,3 +27,12 @@ from arroyo_spark.streaming.produce import (  # noqa: F401
     to_kafka_records,
 )
 from arroyo_spark.streaming.metrics import METRIC_MAP, progress_metrics  # noqa: F401
+from arroyo_spark.streaming.codecs import (  # noqa: F401
+    BINARY_JSON,
+    JSON,
+    BinaryJsonCodec,
+    ColumnCodec,
+    JsonCodec,
+)
+from arroyo_spark.streaming.healthcheck import HealthcheckListener  # noqa: F401
+from arroyo_spark.streaming.stuck import StuckDetector  # noqa: F401

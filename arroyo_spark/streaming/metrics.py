@@ -45,7 +45,10 @@ METRIC_MAP: dict[str, tuple[str, str]] = {
     "arroyo.consumer.commit_status": (EMITTED, "ledger commit success implies 1 (atomic rename)"),
     "arroyo.consumer.pause": (ENGINE, "no explicit pause; trigger gap = idle time"),
     "arroyo.consumer.resume": (ENGINE, "see pause"),
-    "arroyo.consumer.stuck": (ENGINE, "StreamingQueryListener onQueryIdle"),
+    "arroyo.consumer.stuck": (
+        EMITTED,
+        "stuck.StuckDetector: listener-event gap > timeout -> stack dump + counter",
+    ),
     "arroyo.consumer.partitions_assigned.count": (
         ENGINE,
         "rebalance is engine-owned: progress.sources[*].{start,end}Offset ranges",

@@ -68,9 +68,27 @@ class StreamProcessor:
     output_mode: str = "append"
     query_name: str = "arroyo_spark"
     commit_policy: CommitPolicy | None = None
+    # stuck watchdog (reference: StreamProcessor(stuck_detector_timeout=...)
+    # at arroyo/processing/processor.py:145,370): a wedged micro-batch emits
+    # no listener events — after stuck_timeout_s of silence, thread stacks
+    # are dumped to stuck_file and arroyo.consumer.stuck increments
+    stuck_timeout_s: float | None = None
+    stuck_file: str | None = None
     _query: object = field(default=None, repr=False)
+    _stuck_detector: object = field(default=None, repr=False)
 
-    def start(self):
+    def _resolve_trigger(self) -> dict:
+        if self.trigger is not None:
+            return self.trigger
+        interval = (
+            self.commit_policy.trigger_interval() if self.commit_policy is not None else None
+        )
+        # a frequency policy maps to a processing-time trigger (epochs —
+        # hence ledger commits — happen at most once per interval);
+        # otherwise drain everything available and stop
+        return {"processingTime": interval} if interval else {"availableNow": True}
+
+    def start(self, drain: bool = False):
         df = self.source(self.spark)
         if self.pipeline is not None:
             df = self.pipeline(df)
@@ -84,28 +102,51 @@ class StreamProcessor:
             .outputMode(self.output_mode)
             .option("checkpointLocation", self.checkpoint_dir)
         )
-        trigger = self.trigger
-        if trigger is None:
-            interval = (
-                self.commit_policy.trigger_interval() if self.commit_policy is not None else None
-            )
-            # a frequency policy maps to a processing-time trigger (epochs —
-            # hence ledger commits — happen at most once per interval);
-            # otherwise drain everything available and stop
-            trigger = {"processingTime": interval} if interval else {"availableNow": True}
+        trigger = self._resolve_trigger()
+        if drain and "processingTime" in trigger:
+            # run_until_complete must terminate: a processingTime trigger
+            # (explicit or derived from a frequency commit_policy) never
+            # does — awaitTermination() would hang forever. Drain instead;
+            # the commit-policy flush state machine still throttles by its
+            # own clock inside the sink.
+            trigger = {"availableNow": True}
         writer = writer.trigger(**trigger)
+        if self.stuck_timeout_s is not None:
+            from arroyo_spark.streaming.stuck import StuckDetector
+
+            if self.stuck_file is None:
+                raise ValueError("stuck_timeout_s requires stuck_file")
+            self._stuck_detector = StuckDetector(self.stuck_timeout_s, self.stuck_file)
+            self.spark.streams.addListener(self._stuck_detector)
+            self._stuck_detector.start()
         self._query = writer.start()
         return self._query
 
+    def _teardown_stuck_detector(self) -> None:
+        if self._stuck_detector is not None:
+            self._stuck_detector.stop()
+            try:
+                self.spark.streams.removeListener(self._stuck_detector)
+            except Exception:  # noqa: BLE001 — listener already gone
+                pass
+            self._stuck_detector = None
+
     def run_until_complete(self, timeout: float | None = None) -> None:
-        """Process everything currently available, then stop (join())."""
-        q = self.start()
+        """Process everything currently available, then stop (join()).
+
+        Always uses a draining trigger: a processingTime trigger (from an
+        explicit ``trigger`` or a frequency-based ``commit_policy``) is
+        replaced by availableNow so awaitTermination() returns.
+        """
+        q = self.start(drain=True)
         try:
             q.awaitTermination(timeout) if timeout else q.awaitTermination()
         finally:
             if q.isActive:
                 q.stop()
+            self._teardown_stuck_detector()
 
     def stop(self) -> None:
         if self._query is not None and self._query.isActive:
             self._query.stop()
+        self._teardown_stuck_detector()

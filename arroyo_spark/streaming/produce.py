@@ -31,14 +31,23 @@ from arroyo_spark.streaming.sink import ExactlyOnceSink
 
 
 def to_kafka_records(
-    df: DataFrame, key_cols: list[str] | None = None, value_cols: list[str] | None = None
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    codec=None,
 ) -> DataFrame:
-    """Encode rows into the Kafka sink envelope: (key, value) strings.
+    """Encode rows into the Kafka sink envelope: (key, value).
 
-    value = JSON of ``value_cols`` (default: all non-key columns); key =
-    concatenated ``key_cols`` (partitioning key on the topic — keep it the
-    conversation key so per-conv_id ordering survives the hop).
+    value = ``codec``-encoded struct of ``value_cols`` (default codec JSON,
+    default cols: all non-key columns); key = concatenated ``key_cols``
+    (partitioning key on the topic — keep it the conversation key so
+    per-conv_id ordering survives the hop). The codec seam mirrors
+    arroyo/utils/codecs.py:9-25 — pass ``codecs.BINARY_JSON`` for
+    binary-valued topics or any custom ``ColumnCodec``.
     """
+    from arroyo_spark.streaming.codecs import JSON
+
+    codec = codec if codec is not None else JSON
     key_cols = key_cols or []
     value_cols = value_cols or [c for c in df.columns if c not in key_cols]
     out = df.select(
@@ -47,7 +56,7 @@ def to_kafka_records(
             if key_cols
             else []
         ),
-        F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("value"),
+        codec.encode(F.struct(*[F.col(c) for c in value_cols])).alias("value"),
     )
     return out
 
@@ -77,10 +86,32 @@ class PipeTopic:
 
     def source(self, spark: SparkSession, max_files_per_trigger: int = 4):
         """Stream source over the committed output (schema inferred from the
-        written epochs; call only after the producing stage drained)."""
+        written epochs; call only after the producing stage drained).
+
+        Construction fails if any ``epoch=N`` dir under data/ is NOT in the
+        ledger — an orphan left by a producer that crashed between data
+        write and ledger commit must not leak downstream (the downstream
+        stage would otherwise read an uncommitted, possibly partial epoch).
+        """
+        import os
+        import re
+
         from arroyo_spark.streaming.sources import StreamSource
 
         data_dir = f"{self.root}/{self.name}/data"
+        committed = set(OffsetsLedger(self.root, self.name).epochs())
+        orphans = sorted(
+            int(m.group(1))
+            for d in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
+            if (m := re.fullmatch(r"epoch=(\d+)", d)) and int(m.group(1)) not in committed
+        )
+        if orphans:
+            raise RuntimeError(
+                f"uncommitted epoch dirs under {data_dir}: {orphans} — the "
+                "producer crashed after writing data but before the ledger "
+                "commit; rerun the producing stage (idempotent overwrite) or "
+                "remove the orphan dirs before reading this topic"
+            )
         schema = spark.read.option("recursiveFileLookup", "true").parquet(data_dir).schema
         return StreamSource(
             format="parquet",

@@ -45,9 +45,19 @@ class ExactlyOnceSink:
     payload_col: str = "text"
     commit_policy: "CommitPolicy | None" = None
     clock: Callable[[], float] = time.time
+    # bounded retry for the driver-side write effects (data/DLQ parquet,
+    # ledger commit) — all idempotent overwrites, so a transient FS error
+    # retries instead of failing the epoch (see streaming/retries.py;
+    # reference: arroyo/utils/retries.py)
+    write_retry: "object | None" = None
     _dlq_state: DlqLimitState | None = field(default=None, repr=False)
     _policy_state: object = field(default=None, repr=False)
     n_policy_commits: int = field(default=0, repr=False)
+    # synthetic message counter for lineage-less (pre-aggregated) batches:
+    # without partition/offset columns next_offsets stays {} and a
+    # min_commit_messages policy would see messages_since=0 forever; this
+    # feeds the policy n_total per epoch on a synthetic partition -1
+    _synthetic_next: int = field(default=0, repr=False)
 
     def __post_init__(self) -> None:
         if self.dlq_limit is not None:
@@ -67,6 +77,16 @@ class ExactlyOnceSink:
     # -- paths ---------------------------------------------------------
     def data_dir(self, epoch_id: int) -> str:
         return f"{self.output_dir}/data/epoch={epoch_id}"
+
+    def _retry(self, fn):
+        """Run a driver-side write through the retry policy (default: 3
+        attempts, 0.2s apart — a transient FS error must not fail an epoch
+        whose replay would succeed; every wrapped write is idempotent)."""
+        if self.write_retry is None:
+            from arroyo_spark.streaming.retries import RetryPolicy
+
+            self.write_retry = RetryPolicy()
+        return self.write_retry.call(fn)
 
     def dlq_dir(self, epoch_id: int) -> str:
         return f"{self.output_dir}/dlq/epoch={epoch_id}"
@@ -133,13 +153,15 @@ class ExactlyOnceSink:
                     runs = consecutive_invalid_runs(batch_df, valid_cond, self._dlq_state)
                     self._dlq_state.check_epoch(n_total, n_invalid, runs)  # raises -> epoch fails
                 if n_invalid:
-                    dlq_df.write.mode("overwrite").parquet(self.dlq_dir(epoch_id))
+                    self._retry(
+                        lambda: dlq_df.write.mode("overwrite").parquet(self.dlq_dir(epoch_id))
+                    )
                 dlq_df.unpersist()
             if captured:
                 data_in = data_in.drop(INVALID_REASON_COL)
 
             out = self.transform(data_in) if self.transform is not None else data_in
-            out.write.mode("overwrite").parquet(self.data_dir(epoch_id))
+            self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
 
             metrics = {
                 "arroyo.consumer.run.count": float(n_total),
@@ -154,11 +176,17 @@ class ExactlyOnceSink:
                 )
             if self._policy_state is not None:
                 now = self.clock()
-                if self._policy_state.should_commit(now, next_offsets):
-                    self._policy_state.did_commit(now, next_offsets)
+                policy_offsets = next_offsets
+                if not has_lineage:
+                    # lineage-less stream: advance a synthetic partition by
+                    # n_total so messages-based policies still see deltas
+                    self._synthetic_next += n_total
+                    policy_offsets = {-1: self._synthetic_next}
+                if self._policy_state.should_commit(now, policy_offsets):
+                    self._policy_state.did_commit(now, policy_offsets)
                     self.n_policy_commits += 1
                 metrics["arroyo.consumer.commit.count"] = float(self.n_policy_commits)
-            self.ledger.commit(epoch_id, next_offsets, metrics)
+            self._retry(lambda: self.ledger.commit(epoch_id, next_offsets, metrics))
         finally:
             batch_df.unpersist()
 

@@ -95,6 +95,7 @@ def kafka_source(
     value_schema: T.StructType | None = None,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    codec=None,
     **extra_options: str,
 ) -> StreamSource:
     """Kafka topic stream (the reference consumer's seam).
@@ -117,11 +118,14 @@ def kafka_source(
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
 
     def decode(df: DataFrame) -> DataFrame:
+        from arroyo_spark.streaming.codecs import JSON
+
+        cdc = codec if codec is not None else JSON
         out = df.select(
             F.col("partition").cast("int").alias("partition"),
             F.col("offset").cast("long").alias("offset"),
             F.col("timestamp").alias("ts"),
-            F.col("value").cast("string").alias("_json"),
+            F.col("value").alias("_wire"),
         )
         if value_schema is not None:
             payload_fields = [f.name for f in value_schema.fields if f.name != "ts"]
@@ -129,7 +133,9 @@ def kafka_source(
                 "partition",
                 "offset",
                 "ts",
-                F.from_json("_json", value_schema).alias("_payload"),
+                # codec seam (arroyo/utils/codecs.py contract): the same
+                # ColumnCodec used by to_kafka_records decodes the envelope
+                cdc.decode(F.col("_wire"), value_schema).alias("_payload"),
             ).select("partition", "offset", "ts", *[f"_payload.{c}" for c in payload_fields])
         return out
 

@@ -24,6 +24,26 @@ N_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~0.5M turns w/ skew
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))  # best-of-N per query
 
 
+def materialize(df) -> int:
+    """Force FULL computation of every output column, return the row count.
+
+    ``.count()`` is NOT a valid bench action: Catalyst prunes columns the
+    action doesn't need, so a pure-projection query (doc_fingerprints,
+    text_quality_langid, ...) would "run" as a row count over parquet and
+    the md5/quality/lang-id expressions would never execute. Summing an
+    xxhash64 over all columns makes every expression load-bearing while
+    keeping the action a single driver-side row.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: summing 64-bit hashes overflows long under ANSI
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+    ).collect()[0]
+    return row["n"]
+
+
 def warmup(spark) -> None:
     """Absorb JVM/codegen/parquet-footer warmup before any timed query —
     otherwise the first query's number carries ~5s of one-time cost and
@@ -31,7 +51,7 @@ def warmup(spark) -> None:
     from arroyo_spark import queries as q
 
     for name in ("reduce_tumbling", "tpch_q1_pricing"):
-        q.QUERIES[name](spark, SF_DIR).count()
+        materialize(q.QUERIES[name](spark, SF_DIR))
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -42,7 +62,7 @@ def run_queries(spark) -> dict[str, float]:
         best = None
         for _ in range(max(RUNS, 1)):
             t0 = time.time()
-            n = fn(spark, SF_DIR).count()  # full materialization of the aggregate
+            n = materialize(fn(spark, SF_DIR))  # all columns computed, see materialize()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -79,7 +99,9 @@ def run_flagship_pipeline(spark) -> tuple[float, int]:
         F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_errors"),
     )
     out = agg.join(call_stats, "conv_id", "left")
-    out.count()
+    # materialize(), not .count(): a left join preserves left-side row count,
+    # so Catalyst would eliminate the join under a bare count
+    materialize(out)
     elapsed = time.time() - t0
     t.unpersist()
     return elapsed, n_turns
