@@ -734,12 +734,14 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """,
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arroyo_spark.operators.similarity import cosine_topk
+    from arroyo_spark.operators.similarity import cosine_topk_blocked
 
-    # brute force is the exact VERIFIER: query side bounded to 1000 vectors
-    # (a no-op at the sf0.01 gate); the scale path is lsh_ann_topk
+    # brute force is the exact VERIFIER: query side bounded to 1000 vectors.
+    # blocked kernel = dimension-axis numpy accumulation, bit-identical to
+    # the JVM HOF fold / DuckDB list_dot_product (same IEEE association)
+    # but ~6x faster; the scale paths are lsh_ann_topk / ivf_ann_topk
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(e, k=5, queries=e.filter(F.col("vec_id") < 1000))
+    return cosine_topk_blocked(e, queries=e.filter(F.col("vec_id") < 1000), k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -1053,6 +1055,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return extract_features(attach_fake_media(d))
+
+
+@query("sketch_rollup_distinct")  # rows-only: HLL estimates are deterministic
+# for fixed input but not SQL-portable (DuckDB's HLL implementation differs);
+# accuracy vs exact distinct + merge losslessness asserted in tests/test_sketch.py
+def q_sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the 100 TB pattern): per-(hour, event_type)
+    HLL sketches merged to per-event_type distinct-user estimates — any
+    time-range distinct count from KBs of sketches instead of a raw rescan."""
+    from arroyo_spark.operators.sketch import sketch_merge, sketch_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    rollup = sketch_rollup(e, "user_id", keys=["event_type"], bucket="1 hour")
+    return sketch_merge(rollup, keys=["event_type"])
 
 
 def queries() -> dict[str, QueryFn]:
