@@ -117,7 +117,12 @@ def main() -> None:
             print(f"rep{rep} local[{level}]: {r['elapsed_s']}s "
                   f"({r['turns_per_sec']} turns/s)", file=sys.stderr)
 
+    import statistics
+
     best = {level: max(rs, key=lambda r: r["turns_per_sec"]) for level, rs in runs.items()}
+    med = {
+        level: statistics.median(r["turns_per_sec"] for r in rs) for level, rs in runs.items()
+    }
     spread = {
         level: (max(r["elapsed_s"] for r in rs) - min(r["elapsed_s"] for r in rs))
         / min(r["elapsed_s"] for r in rs)
@@ -126,6 +131,8 @@ def main() -> None:
     r_lo, r_hi = best[lo], best[hi]
     speedup = r_hi["turns_per_sec"] / r_lo["turns_per_sec"]
     efficiency = speedup / (hi / lo)
+    med_speedup = med[hi] / med[lo]
+    med_efficiency = med_speedup / (hi / lo)
     consistent = all(
         rs[0]["agg_rows"] == rs[-1]["agg_rows"] == r_lo["agg_rows"]
         and rs[0]["join_rows"] == rs[-1]["join_rows"] == r_lo["join_rows"]
@@ -139,6 +146,9 @@ def main() -> None:
         "all_runs": {str(k): v for k, v in runs.items()},
         "run_spread": {str(k): round(v, 3) for k, v in spread.items()},
         "speedup": round(speedup, 2),
+        "median_turns_per_sec": {str(k): round(v, 1) for k, v in med.items()},
+        "median_speedup": round(med_speedup, 2),
+        "median_efficiency": round(med_efficiency, 3),
         "exactly_once_consistent": consistent,
     }
     print(json.dumps(result))
@@ -177,7 +187,10 @@ def main() -> None:
     lines += [
         "",
         f"- best-run speedup {lo}->{hi} cores: **{speedup:.2f}x** (ideal {hi // lo}x)",
-        f"- scaling efficiency: **{efficiency:.3f}** (criterion: >= 0.8)",
+        f"- scaling efficiency (best-of): **{efficiency:.3f}** (criterion: >= 0.8)",
+        f"- MEDIAN speedup {lo}->{hi}: **{med_speedup:.2f}x** -> median efficiency"
+        f" **{med_efficiency:.3f}** (robustness check: the criterion should"
+        " hold on medians too, not only on the best-of estimator)",
         f"- run-to-run spread: local[{lo}] {spread[lo]:.1%}, local[{hi}] {spread[hi]:.1%}",
         "- exactly-once consistency across ALL runs and levels (identical",
         f"  committed row sets: agg={r_lo['agg_rows']}, join={r_lo['join_rows']}):"
