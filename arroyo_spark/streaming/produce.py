@@ -112,7 +112,17 @@ class PipeTopic:
                 "commit; rerun the producing stage (idempotent overwrite) or "
                 "remove the orphan dirs before reading this topic"
             )
-        schema = spark.read.option("recursiveFileLookup", "true").parquet(data_dir).schema
+        schema_file = f"{self.root}/{self.name}/schema.json"
+        if os.path.exists(schema_file):
+            # written by the sink at first commit: no batch-inference scan
+            import json
+
+            from pyspark.sql import types as T
+
+            with open(schema_file) as f:
+                schema = T.StructType.fromJson(json.load(f))
+        else:
+            schema = spark.read.option("recursiveFileLookup", "true").parquet(data_dir).schema
         return StreamSource(
             format="parquet",
             schema=schema,

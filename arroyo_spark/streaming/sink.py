@@ -91,6 +91,20 @@ class ExactlyOnceSink:
     def dlq_dir(self, epoch_id: int) -> str:
         return f"{self.output_dir}/dlq/epoch={epoch_id}"
 
+    def _write_schema_once(self, out: DataFrame) -> None:
+        """Persist the output schema next to data/ on the first commit, so a
+        downstream PipeTopic.source (or any reader) can build its stream
+        without a driver-side batch-inference scan over every epoch dir —
+        at 10^5 committed epochs that listing alone is minutes."""
+        import os
+
+        path = f"{self.output_dir}/schema.json"
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
+                f.write(out.schema.json())
+            os.replace(tmp, path)  # atomic, idempotent across replays
+
     # -- the foreachBatch callable --------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.ledger.is_committed(epoch_id):
@@ -162,6 +176,7 @@ class ExactlyOnceSink:
 
             out = self.transform(data_in) if self.transform is not None else data_in
             self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
+            self._write_schema_once(out)
 
             metrics = {
                 "arroyo.consumer.run.count": float(n_total),

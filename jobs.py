@@ -119,6 +119,10 @@ def cmd_stream(args) -> None:
         checkpoint_dir=f"{args.out}/{args.job_id}/checkpoint",
         pipeline=lambda df: flagship_stream_pipeline(df, args.watermark),
         output_mode="append",
+        # ops watchdog (reference: StreamProcessor(stuck_detector_timeout)):
+        # a wedged micro-batch dumps stacks + flips the stuck marker
+        stuck_timeout_s=args.stuck_timeout,
+        stuck_file=f"{args.out}/{args.job_id}/stuck.dump" if args.stuck_timeout else None,
     )
     proc.run_until_complete()
     n = sink.read_output(spark).count()
@@ -155,6 +159,8 @@ def main() -> None:
     st.add_argument("--watermark", default="10 minutes")
     st.add_argument("--max-files-per-trigger", type=int, default=4)
     st.add_argument("--healthcheck", default=None)
+    st.add_argument("--stuck-timeout", type=float, default=None,
+                    help="seconds of listener-event silence before dumping stacks")
     st.add_argument("--cores", type=int, default=os.cpu_count() or 8)
     st.set_defaults(fn=cmd_stream)
 

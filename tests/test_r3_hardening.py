@@ -330,3 +330,28 @@ def test_transient_ledger_failure_still_commits_epoch(spark, stream_dir, tmp_pat
     )
     proc.run_until_complete(timeout=120)
     assert len(ledger.epochs()) == N_FILES  # no epoch lost to the transient error
+
+
+def test_sink_persists_schema_for_topic_source(spark, stream_dir, tmp_path):
+    """The sink writes schema.json on first commit; PipeTopic.source uses
+    it instead of a batch-inference scan over every committed epoch dir
+    (at 10^5 epochs that listing alone is minutes of driver time)."""
+    from arroyo_spark.streaming import PipeTopic
+
+    root = str(tmp_path / "schemachain")
+    produce_chain(
+        spark,
+        source=file_source(stream_dir, STREAM_SCHEMA, max_files_per_trigger=1),
+        stages=[("norm", lambda df: df.filter(F.col("role") != "system"))],
+        root=root,
+    )
+    assert os.path.exists(f"{root}/norm/schema.json")
+    src = PipeTopic(root, "norm").source(spark)
+    assert set(f.name for f in src.schema.fields) == set(
+        f.name for f in STREAM_SCHEMA.fields
+    )
+    # and the schema actually drives a working stream (batch read sanity)
+    got = spark.read.schema(src.schema).option("recursiveFileLookup", "true").parquet(
+        f"{root}/norm/data"
+    )
+    assert got.count() > 0

@@ -71,3 +71,69 @@ def test_approx_distinct_and_quantiles(spark):
     assert qs[0] <= qs[1]
     # GK with accuracy=10000 on a 500-row table is exact
     assert qs[0] == p50 and qs[1] == p90
+
+
+def test_streaming_epoch_sketches_merge_to_global(spark, tmp_path):
+    """Incremental rollup through the exactly-once sink: each epoch commits
+    its partial HLL sketches; merging ALL committed epochs equals a single
+    sketch built over the whole input in batch (HLL union is lossless) —
+    the streaming path to any-range distinct counts at 10^12 turns."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from arroyo_spark.streaming import (
+        ExactlyOnceSink,
+        FileStreamSource,
+        OffsetsLedger,
+        StreamProcessor,
+    )
+    from arroyo_spark.synth import transcripts
+    from arroyo_spark.types import STREAM_SCHEMA
+
+    root = tmp_path / "sk"
+    flat = tmp_path / "sk_src"
+    flat.mkdir()
+    df = transcripts(spark, 40, partitions=4).cache()
+    hi = df.groupBy().max("offset").collect()[0][0]
+    step = hi // 3 + 1
+    for i in range(3):
+        part = df.filter((F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step))
+        tmp = str(tmp_path / f"_s{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(flat / f"{i:03d}.parquet"))
+
+    ledger = OffsetsLedger(str(root), "sk")
+    sink = ExactlyOnceSink(
+        output_dir=f"{root}/sk",
+        ledger=ledger,
+        # per-epoch partial sketches (one per role), appended across epochs
+        transform=lambda b: b.groupBy("role").agg(
+            F.hll_sketch_agg("conv_id", F.lit(12)).alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+    )
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(str(flat), STREAM_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=f"{root}/ckpt",
+    ).run_until_complete(timeout=120)
+    assert len(ledger.epochs()) == 3
+
+    merged = {
+        r["role"]: r["d"]
+        for r in sink.read_output(spark)
+        .groupBy("role")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("d"))
+        .collect()
+    }
+    single = {
+        r["role"]: r["d"]
+        for r in df.groupBy("role")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("conv_id", F.lit(12))).alias("d"))
+        .collect()
+    }
+    df.unpersist()
+    assert merged == single  # lossless union across epoch partials

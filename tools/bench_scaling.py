@@ -108,11 +108,22 @@ def main() -> None:
         n = prepare_input(args.convs, args.files, f"{args.workdir}/input")
         print(f"input: {n} turns", file=sys.stderr)
 
-    # interleave levels so slow drift (thermal/host contention) hits both
+    # interleave levels so slow drift (thermal/host contention) hits both;
+    # measure the host's SAME-WINDOW silicon ceiling (no-Spark CPU ladder,
+    # tools/cpu_ladder.py) right before each rep — on this shared host the
+    # available 4->16 silicon varies by the hour (measured 3.05x-3.88x),
+    # and job efficiency is only meaningful against the window's ceiling
+    from tools.cpu_ladder import run_level as ladder_level
+
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for rep in range(args.repeats):
+        lad = {p: max(ladder_level(p, 12_000_000)[0] for _ in range(2)) for p in (lo, hi)}
+        ceiling = lad[hi] / lad[lo] / (hi / lo)
+        print(f"rep{rep} ladder {lo}->{hi}: {lad[hi]/lad[lo]:.2f}x "
+              f"(ceiling {ceiling:.3f})", file=sys.stderr)
         for level in (lo, hi):
             r = run_level(level, src, calls, args.workdir)
+            r["window_ceiling"] = round(ceiling, 3)
             runs[level].append(r)
             print(f"rep{rep} local[{level}]: {r['elapsed_s']}s "
                   f"({r['turns_per_sec']} turns/s)", file=sys.stderr)
