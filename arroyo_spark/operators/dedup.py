@@ -86,15 +86,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (id, perm, minhash).
 
-    Permutation i is an independent hash family member obtained by salting
-    the shingle hash with i (md5 re-hash — no multiply-mod arithmetic, so
-    no int64 overflow and an exact SQL mirror).
+    Double hashing (Kirsch-Mitzenmacher, the standard minhash trick): ONE
+    md5 per shingle yields two independent halves h1 (60-bit) and h2
+    (56-bit); permutation i's hash is (h1 + i*h2) mod 2^60. This replaces
+    n_perm md5 invocations per shingle occurrence with one md5 + n_perm
+    integer ops — the dominant map-side cost at corpus scale drops ~n_perm
+    fold. Overflow-safe in ANSI int64 (h2 < 2^56, i < 2^7 -> i*h2 < 2^63)
+    and bit-identical in the DuckDB oracle (same bigint arithmetic).
     """
     sh = _shingle_rows(df, id_col, text_col, shingle_n)
-    perms = sh.select(
-        id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    m = F.md5(F.col("shingle"))
+    based = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(m, 17, 14), 16, 10).cast("long").alias("_h2"),
     )
-    h = md5_hash64(F.concat_ws("|", F.col("perm"), F.col("shingle")))
+    perms = based.select(
+        id_col, "_h1", "_h2",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm"),
+    )
+    h = F.pmod(F.col("_h1") + F.col("perm") * F.col("_h2"), F.lit(1 << 60))
     return (
         perms.withColumn("h", h)
         .groupBy(id_col, "perm")

@@ -600,11 +600,16 @@ WITH norm AS (
   FROM toks WHERE len(t) >= 3
 )"""
 
-_MINHASH_SQL_PRELUDE = _SHINGLES_SQL + r""", perms AS (
-  SELECT doc_id, shingle, unnest(range(8)) AS perm FROM sh
+_MINHASH_SQL_PRELUDE = _SHINGLES_SQL + r""", based AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::bigint AS h1,
+         ('0x' || substring(md5(shingle), 17, 14))::bigint AS h2
+  FROM sh
+), perms AS (
+  SELECT doc_id, h1, h2, unnest(range(8)) AS perm FROM based
 ), sig AS (
   SELECT doc_id, cast(perm AS int) AS perm,
-    min(('0x' || substring(md5(concat(perm, '|', shingle)), 1, 15))::bigint) AS minhash
+    min((h1 + perm * h2) % (1::bigint << 60)) AS minhash
   FROM perms GROUP BY 1, 2
 )
 """
