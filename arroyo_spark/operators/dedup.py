@@ -91,9 +91,17 @@ def minhash_signatures(
     (56-bit); permutation i's hash is (h1 + i*h2) mod 2^60. This replaces
     n_perm md5 invocations per shingle occurrence with one md5 + n_perm
     integer ops — the dominant map-side cost at corpus scale drops ~n_perm
-    fold. Overflow-safe in ANSI int64 (h2 < 2^56, i < 2^7 -> i*h2 < 2^63)
-    and bit-identical in the DuckDB oracle (same bigint arithmetic).
+    fold. Overflow-safe in ANSI int64 only while max(h1 + i*h2) =
+    (2^60-1) + i*(2^56-1) < 2^63, i.e. i < 7*2^60/2^56 = 112 — enforced
+    below (a larger n_perm would raise a runtime overflow error under ANSI
+    mode, and a bigint overflow in the DuckDB oracle). Bit-identical in
+    DuckDB (same bigint arithmetic).
     """
+    if not 1 <= n_perm <= 112:
+        raise ValueError(
+            f"n_perm={n_perm} out of range [1, 112]: h1 + i*h2 overflows int64 "
+            "past i=111 (h1 is 60-bit, h2 is 56-bit)"
+        )
     sh = _shingle_rows(df, id_col, text_col, shingle_n)
     m = F.md5(F.col("shingle"))
     based = sh.select(
@@ -150,11 +158,15 @@ def minhash_candidates(
     bands = lsh_bands(
         minhash_signatures(df, id_col, text_col, n_perm, shingle_n), id_col, band_size
     )
-    from pyspark.sql import Window as W
+    # degenerate buckets are found with a partial-aggregating groupBy and
+    # removed via broadcast anti-join (similarity._cap_buckets): counting
+    # them with a window over (band, band_key) would shuffle every band row
+    # by the very key whose skew the cap exists to control — the overflow
+    # bucket IS the hot partition. Semantics identical: buckets with
+    # > max_bucket_size members are dropped, <= kept.
+    from arroyo_spark.operators.similarity import _cap_buckets
 
-    sized = bands.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
+    sized = _cap_buckets(bands, max_bucket_size, "band", "band_key")
     a = sized.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = sized.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

@@ -68,15 +68,25 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank) — ties broken by
     neighbor_id so results are total-ordered and reproducible.
+
+    Zero-norm vectors are EXCLUDED from both sides (cosine is undefined;
+    a 0/0 division would otherwise produce NaN/inf with engine-dependent
+    ordering — Spark ranks NaN above all doubles, numpy's argsort places
+    it last — so the contract is: degenerate vectors don't participate).
+    Same filter in ``cosine_topk_blocked``, keeping the two bit-identical.
     """
     from pyspark.sql import Window as W
 
     dim = _infer_dim(df, vec_col)
-    base = with_norm(df, vec_col, dim).select(
+    base = with_norm(df, vec_col, dim).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
     )
-    qset = with_norm(queries if queries is not None else df, vec_col, dim).select(
-        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+    qset = (
+        with_norm(queries if queries is not None else df, vec_col, dim)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+        )
     )
     pairs = qset.join(base, F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn(
@@ -96,6 +106,7 @@ def cosine_topk_blocked(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine for a BOUNDED query set — the fast verifier.
 
@@ -121,11 +132,23 @@ def cosine_topk_blocked(
     from pyspark.sql import Window as W
 
     dim = _infer_dim(df, vec_col)
+    # zero-norm vectors excluded on BOTH sides — same contract and filter
+    # as cosine_topk (cosine undefined; NaN ordering differs across
+    # engines, which would break the bit-identical-verifier claim on
+    # exactly the degenerate embeddings _cap_buckets warns about)
     qrows = (
         with_norm(queries, vec_col, dim)
+        .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("_id"), "_vec", "_norm")
+        .limit(max_queries + 1)
         .collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_blocked collects the query set to the driver: got "
+            f"> max_queries={max_queries} rows — this is the bounded-query "
+            "verifier; use lsh_ann_topk / ivf_ann_topk for corpus-vs-corpus"
+        )
     Q = np.array([r["_vec"] for r in qrows], dtype=np.float64)  # (q, dim)
     qids = np.array([r["_id"] for r in qrows])
     qn = np.array([r["_norm"] for r in qrows], dtype=np.float64)
@@ -137,6 +160,7 @@ def cosine_topk_blocked(
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
     base = (
         with_norm(df, vec_col, dim)
+        .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("neighbor_id"), "_vec", "_norm")
         .repartition(n_parts)
     )
@@ -322,36 +346,71 @@ def ivf_ann_topk(
     The IVF structure (assign -> probe -> exact re-rank within cells) is
     what matters; a k-means fit would only move the centroids, not the
     plan. Costs:
-    assignment is a broadcast N x K scan (linear in N, K constant); the
-    search join is hash-partitioned on cell id — each query competes
-    against ~N/n_cells * n_probe candidates instead of N. Recall is
-    tunable via n_probe. Scale path alternative to ``lsh_ann_topk``.
+    assignment is a per-row PROJECTION — the centroids are plan-time
+    literals, so all K cell similarities are scored inside one
+    ``transform`` over a constant-folded centroid array and the n_probe
+    closest cells picked with ``array_sort`` + ``slice`` + ``posexplode``.
+    Zero shuffle between the scan and the cell join (the previous
+    join-then-``row_number`` form shuffled the full N x K grid — with
+    vectors attached — through a window: ~10^11 rows at 10^9 vectors x
+    128 cells, the classic scale-killer). The search join is
+    hash-partitioned on cell id — each query competes against
+    ~N/n_cells * n_probe candidates instead of N. Recall is tunable via
+    n_probe. Scale path alternative to ``lsh_ann_topk``.
     """
     from pyspark.sql import Window as W
 
     dim = _infer_dim(df, vec_col)
-    v = with_norm(df, vec_col, dim).select(
-        F.col(id_col).alias("_id"), F.col("_vec"), F.col("_norm")
+    # spread the scan BEFORE the K-cell scoring projection: a small file
+    # count would otherwise run the whole O(N*K*dim) assignment on one
+    # core (same rationale as cosine_topk_blocked); at cluster scale the
+    # scan has natural splits and this round-robin of N rows is noise
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
     )
-    # centroids are COLLECTED once at plan-build time (n_cells rows — KBs):
-    # leaving the TakeOrdered subtree in the plan would re-execute it for
-    # every consumer of `assign` (base + probes = twice); a literal local
-    # DataFrame broadcasts the same n_cells rows with zero recomputation.
-    # Rank-based selection (lowest n_cells ids) keeps sparse/offset id
-    # spaces yielding exactly n_cells centroids.
+    v = (
+        with_norm(df, vec_col, dim)
+        .select(F.col(id_col).alias("_id"), F.col("_vec"), F.col("_norm"))
+        .repartition(n_parts)
+    )
+    # centroids are COLLECTED once at plan-build time (n_cells rows — KBs)
+    # and attached to every row as ONE broadcast row of arrays (a ~64 KB
+    # BroadcastNestedLoopJoin against a single row — no shuffle exchange,
+    # no per-row recomputation; baking them in as a literal array worked
+    # identically but cost ~25s of cold janino time on the 200 KB
+    # expression). Every executor scores all K cells per row inside one
+    # projection. Rank-based selection (lowest n_cells ids) keeps
+    # sparse/offset id spaces yielding exactly n_cells centroids.
     cent_rows = v.orderBy("_id").limit(n_cells).collect()
     cents = df.sparkSession.createDataFrame(
-        [(r["_id"], r["_vec"], r["_norm"]) for r in cent_rows],
-        "cell long, _cv array<double>, _cn double",
+        [(
+            [r["_id"] for r in cent_rows],
+            [r["_vec"] for r in cent_rows],
+            [r["_norm"] for r in cent_rows],
+        )],
+        "_cells array<bigint>, _cvs array<array<double>>, _cns array<double>",
     )
-    sim = _dot(F.col("_vec"), F.col("_cv"), dim) / (F.col("_norm") * F.col("_cn"))
-    pw = W.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell"))
+    # sort key struct(negsim, cell): ascending struct order == sim DESC,
+    # cell ASC — exactly a row_number() ordering on (sim DESC, cell). The
+    # dot product is the same sequential zip_with/aggregate fold as _dot
+    # (bit-identical to DuckDB's list_dot_product), so near-tie cell
+    # choices match the oracle exactly.
+    probe_expr = (
+        "slice(array_sort(transform(sequence(0, size(_cells) - 1), i -> named_struct("
+        "'negsim', -(aggregate(zip_with(_vec, element_at(_cvs, i + 1), (x, y) -> x * y), 0.0D,"
+        " (a, x) -> a + x) / (_norm * element_at(_cns, i + 1))), "
+        f"'cell', element_at(_cells, i + 1)))), 1, {n_probe})"
+    )
     assign = (
         v.join(F.broadcast(cents))
-        .withColumn("_sim", sim)
-        .withColumn("_pr", F.row_number().over(pw))
-        .filter(F.col("_pr") <= n_probe)
-        .select("_id", "cell", "_pr", "_vec", "_norm")
+        .select("_id", "_vec", "_norm", F.posexplode(F.expr(probe_expr)).alias("_pos", "_p"))
+        .select(
+            "_id",
+            F.col("_p.cell").alias("cell"),
+            (F.col("_pos") + 1).alias("_pr"),
+            "_vec",
+            "_norm",
+        )
     )
     base = assign.filter(F.col("_pr") == 1).select(
         F.col("_id").alias("neighbor_id"), "cell", F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")

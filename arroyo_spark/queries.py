@@ -725,6 +725,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS cosine
@@ -1060,6 +1061,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return extract_features(attach_fake_media(d))
+
+
+@query(
+    "sketch_rollup_exact",
+    """
+WITH r AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       cast(count(*) AS bigint) AS n_buckets,
+       cast(sum(n) AS bigint) AS n_rows
+FROM r GROUP BY 1
+""",
+)
+def q_sketch_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable core of the sketch rollup: the SAME
+    sketch_rollup pipeline (hll_sketch_agg runs and is load-bearing), but
+    the certified outputs are its exact columns — per-event_type hourly
+    bucket count and row count. The HLL estimate itself stays in
+    sketch_rollup_distinct (rows-only; DuckDB's HLL differs)."""
+    from arroyo_spark.operators.sketch import sketch_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    rollup = sketch_rollup(e, "user_id", keys=["event_type"], bucket="1 hour")
+    return rollup.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("n_rows").alias("n_rows")
+    )
 
 
 @query("sketch_rollup_distinct")  # rows-only: HLL estimates are deterministic

@@ -36,3 +36,4 @@ from arroyo_spark.streaming.codecs import (  # noqa: F401
 )
 from arroyo_spark.streaming.healthcheck import HealthcheckListener  # noqa: F401
 from arroyo_spark.streaming.stuck import StuckDetector  # noqa: F401
+from arroyo_spark.streaming.profiler import QueryProfiler, stage_metrics  # noqa: F401

@@ -111,6 +111,9 @@ class StreamProcessor:
             # own clock inside the sink.
             trigger = {"availableNow": True}
         writer = writer.trigger(**trigger)
+        # a second start() without stop() must not orphan a previous
+        # detector's thread/listener on the shared session (ADVICE r3)
+        self._teardown_stuck_detector()
         if self.stuck_timeout_s is not None:
             from arroyo_spark.streaming.stuck import StuckDetector
 
@@ -119,7 +122,13 @@ class StreamProcessor:
             self._stuck_detector = StuckDetector(self.stuck_timeout_s, self.stuck_file)
             self.spark.streams.addListener(self._stuck_detector)
             self._stuck_detector.start()
-        self._query = writer.start()
+        try:
+            self._query = writer.start()
+        except Exception:
+            # bad options / checkpoint conflict: don't leave the detector
+            # thread + listener attached to the shared SparkSession
+            self._teardown_stuck_detector()
+            raise
         return self._query
 
     def _teardown_stuck_detector(self) -> None:

@@ -58,6 +58,8 @@ class ExactlyOnceSink:
     # min_commit_messages policy would see messages_since=0 forever; this
     # feeds the policy n_total per epoch on a synthetic partition -1
     _synthetic_next: int = field(default=0, repr=False)
+    # cached copy of schema.json (None until first commit or first read)
+    _schema_json: str | None = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         if self.dlq_limit is not None:
@@ -95,24 +97,54 @@ class ExactlyOnceSink:
         """Persist the output schema next to data/ on the first commit, so a
         downstream PipeTopic.source (or any reader) can build its stream
         without a driver-side batch-inference scan over every epoch dir —
-        at 10^5 committed epochs that listing alone is minutes."""
+        at 10^5 committed epochs that listing alone is minutes.
+
+        Later epochs must match: a silently-evolved transform output would
+        otherwise be read back with the stale persisted schema (new columns
+        nulled) — fail loudly instead (ADVICE r3). The persisted schema is
+        cached in memory so steady-state epochs cost zero FS reads."""
         import os
 
         path = f"{self.output_dir}/schema.json"
-        if not os.path.exists(path):
-            tmp = f"{path}.tmp"
-            with open(tmp, "w") as f:
-                f.write(out.schema.json())
-            os.replace(tmp, path)  # atomic, idempotent across replays
+        cached = self._schema_json
+        if cached is None and os.path.exists(path):
+            with open(path) as f:
+                cached = self._schema_json = f.read()
+        if cached is not None:
+            if out.schema.json() != cached:
+                raise ValueError(
+                    f"sink output schema changed mid-stream: {self.output_dir} "
+                    f"committed epochs use {cached}, this epoch produced "
+                    f"{out.schema.json()} — evolve the topic by writing to a "
+                    "new output_dir (readers pin the persisted schema)"
+                )
+            return
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(out.schema.json())
+        os.replace(tmp, path)  # atomic, idempotent across replays
+        self._schema_json = out.schema.json()
 
     # -- the foreachBatch callable --------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.ledger.is_committed(epoch_id):
             return  # replay after restart: already fully committed
         t0 = time.time()
+        from arroyo_spark.operators.map import INVALID_REASON_COL
+
+        has_lineage = "partition" in batch_df.columns and "offset" in batch_df.columns
+        needs_dlq = self.valid is not None or INVALID_REASON_COL in batch_df.columns
+        if not needs_dlq and not has_lineage and self.transform is None:
+            # FAST PATH — one Spark job per epoch. The stats the ledger
+            # needs (row count, max event time) are folded into the write
+            # job itself with observe()/CollectMetrics: no persist, no
+            # separate stats action. Per-epoch driver actions are serial
+            # cost that caps scaling efficiency (measured ~2.3s/epoch
+            # fixed cost in the r3 scaling runs, partly this extra pass).
+            self._commit_fast(batch_df, epoch_id, t0)
+            return
         batch_df = batch_df.persist()
         try:
-            has_lineage = "partition" in batch_df.columns and "offset" in batch_df.columns
 
             # ONE action for count + per-partition next-offsets + max event
             # time: per-epoch driver actions are serial cost that caps
@@ -177,33 +209,76 @@ class ExactlyOnceSink:
             out = self.transform(data_in) if self.transform is not None else data_in
             self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
             self._write_schema_once(out)
-
-            metrics = {
-                "arroyo.consumer.run.count": float(n_total),
-                "arroyo.consumer.invalid_message.count": float(n_invalid),
-                "arroyo.consumer.processing.time": time.time() - t0,
-            }
-            if max_ts is not None:
-                import calendar
-
-                metrics["arroyo.consumer.latency"] = time.time() - calendar.timegm(
-                    max_ts.timetuple()
-                )
-            if self._policy_state is not None:
-                now = self.clock()
-                policy_offsets = next_offsets
-                if not has_lineage:
-                    # lineage-less stream: advance a synthetic partition by
-                    # n_total so messages-based policies still see deltas
-                    self._synthetic_next += n_total
-                    policy_offsets = {-1: self._synthetic_next}
-                if self._policy_state.should_commit(now, policy_offsets):
-                    self._policy_state.did_commit(now, policy_offsets)
-                    self.n_policy_commits += 1
-                metrics["arroyo.consumer.commit.count"] = float(self.n_policy_commits)
-            self._retry(lambda: self.ledger.commit(epoch_id, next_offsets, metrics))
+            self._finalize(epoch_id, t0, n_total, n_invalid, max_ts, next_offsets, has_lineage)
         finally:
             batch_df.unpersist()
+
+    def _commit_fast(self, batch_df: DataFrame, epoch_id: int, t0: float) -> None:
+        """Single-job epoch commit: observe() folds the ledger stats (row
+        count, max event time) into the data write itself — the epoch costs
+        exactly one Spark job and zero persists. Valid only for the
+        lineage-less / no-DLQ / no-transform configuration (the standard
+        streaming-aggregation deployment): lineage batches need the
+        per-partition groupBy for next-offsets, and the DLQ limit check
+        must fail-stop BEFORE anything is written."""
+        from pyspark.sql import Observation
+
+        ts_col = next((c for c in ("ts", "win_end", "win_start") if c in batch_df.columns), None)
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if ts_col is not None:
+            aggs.append(F.max(ts_col).alias("mts"))
+        out = batch_df.observe(obs, *aggs)
+        self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
+        self._write_schema_once(out)
+        vals = obs.get
+        self._finalize(
+            epoch_id, t0, vals["n"], 0, vals.get("mts"), {}, has_lineage=False
+        )
+
+    def _finalize(
+        self,
+        epoch_id: int,
+        t0: float,
+        n_total: int,
+        n_invalid: int,
+        max_ts,
+        next_offsets: dict[int, int],
+        has_lineage: bool,
+    ) -> None:
+        """Metrics + commit-policy bookkeeping + atomic ledger commit.
+
+        The synthetic message counter (lineage-less streams) is advanced
+        only AFTER the ledger commit succeeds: if the commit exhausts its
+        retries the epoch fails and is replayed, and an already-advanced
+        counter would double-count the batch for min_commit_messages
+        policies (ADVICE r3)."""
+        metrics = {
+            "arroyo.consumer.run.count": float(n_total),
+            "arroyo.consumer.invalid_message.count": float(n_invalid),
+            "arroyo.consumer.processing.time": time.time() - t0,
+        }
+        if max_ts is not None:
+            import calendar
+
+            metrics["arroyo.consumer.latency"] = time.time() - calendar.timegm(
+                max_ts.timetuple()
+            )
+        synthetic_next = self._synthetic_next
+        if self._policy_state is not None:
+            now = self.clock()
+            policy_offsets = next_offsets
+            if not has_lineage:
+                # lineage-less stream: advance a synthetic partition by
+                # n_total so messages-based policies still see deltas
+                synthetic_next = self._synthetic_next + n_total
+                policy_offsets = {-1: synthetic_next}
+            if self._policy_state.should_commit(now, policy_offsets):
+                self._policy_state.did_commit(now, policy_offsets)
+                self.n_policy_commits += 1
+            metrics["arroyo.consumer.commit.count"] = float(self.n_policy_commits)
+        self._retry(lambda: self.ledger.commit(epoch_id, next_offsets, metrics))
+        self._synthetic_next = synthetic_next
 
     # -- reading back ----------------------------------------------------
     def read_output(self, spark) -> DataFrame:
