@@ -1,0 +1,134 @@
+"""Incremental dedup through the exactly-once streaming path.
+
+The training-data-pipeline composition VERDICT r3 asked for: per-epoch new
+documents deduped against the accumulated fingerprint store (the sink's own
+committed output), asserting the committed keep-set equals batch dedup over
+the full corpus and survives a crash-restart. Mirrors
+test_chained_stateful_dag's structure: deterministic file-per-epoch source,
+ledger-committed epochs, injected mid-stream crash.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from arroyo_spark.operators.dedup import exact_dedup
+from arroyo_spark.streaming import (
+    ExactlyOnceSink,
+    FileStreamSource,
+    OffsetsLedger,
+    StreamProcessor,
+)
+from arroyo_spark.streaming.incremental import epoch_dedup_transform, incremental_dedup_sink
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+# four epochs; duplicates within epochs AND across epochs; first arrival
+# of every text also has the lowest doc_id so the streaming first-wins
+# keep rule coincides with batch exact_dedup's min-id rule
+EPOCHS = [
+    [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta")],  # in-epoch dup
+    [(3, "delta"), (4, "gamma"), (5, "epsilon")],  # cross-epoch dup (gamma)
+    [(6, "alpha  beta"), (7, "zeta")],  # dup after normalization
+    [(8, "delta"), (9, "eta"), (10, "gamma")],  # two cross-epoch dups
+]
+UNIQUE_TEXTS = 6  # alpha-beta, gamma, delta, epsilon, zeta, eta
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(EPOCHS):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        tmp = str(tmp_path / f"_e{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / f"{i:03d}.parquet"))
+    return str(src)
+
+
+def _corpus(spark):
+    rows = [r for ep in EPOCHS for r in ep]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _run(spark, doc_stream_dir, out, sink):
+    proc = StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(doc_stream_dir, DOC_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=f"{out}/ckpt",
+    )
+    proc.run_until_complete()
+
+
+def test_incremental_dedup_equals_batch(spark, doc_stream_dir, tmp_path):
+    out = str(tmp_path / "store")
+    ledger = OffsetsLedger(str(tmp_path), "dedup")
+    sink = incremental_dedup_sink(out, ledger)
+    _run(spark, doc_stream_dir, out, sink)
+
+    assert len(ledger.epochs()) == len(EPOCHS)
+    got = sink.read_output(spark)
+    batch = exact_dedup(_corpus(spark), "doc_id", "text")
+
+    # exactly one keeper per fingerprint, same fingerprint set as batch,
+    # and (first-arrival == min-id here) the same keeper rows
+    got_rows = sorted((r["fingerprint"], r["doc_id"]) for r in got.collect())
+    want_rows = sorted((r["fingerprint"], r["keep_id"]) for r in batch.collect())
+    assert got_rows == want_rows
+    assert got.count() == UNIQUE_TEXTS
+    # the keeper for 'gamma' is its FIRST arrival (doc 1), not a later dup
+    gamma = [r for r in got.collect() if r["text"] == "gamma"]
+    assert [g["doc_id"] for g in gamma] == [1]
+
+
+class _CrashAfter(ExactlyOnceSink):
+    crash_after = 2
+
+    def __call__(self, batch_df, epoch_id):
+        if len(self.ledger.epochs()) >= self.crash_after:
+            raise RuntimeError("injected crash")
+        super().__call__(batch_df, epoch_id)
+
+
+def test_incremental_dedup_crash_restart_exactly_once(spark, doc_stream_dir, tmp_path):
+    out = str(tmp_path / "store")
+    ledger = OffsetsLedger(str(tmp_path), "dedup")
+    crash_sink = _CrashAfter(output_dir=out, ledger=ledger)
+    crash_sink.transform = epoch_dedup_transform(crash_sink)
+    with pytest.raises(Exception, match="injected crash"):
+        _run(spark, doc_stream_dir, out, crash_sink)
+    assert len(ledger.epochs()) == 2  # partial progress
+
+    # restart on the same checkpoint + ledger with a healthy sink
+    sink2 = incremental_dedup_sink(out, ledger)
+    _run(spark, doc_stream_dir, out, sink2)
+
+    assert len(ledger.epochs()) == len(EPOCHS)
+    got = sorted(
+        (r["fingerprint"], r["doc_id"]) for r in sink2.read_output(spark).collect()
+    )
+    want = sorted(
+        (r["fingerprint"], r["keep_id"])
+        for r in exact_dedup(_corpus(spark), "doc_id", "text").collect()
+    )
+    assert got == want  # crash+restart committed the same keep-set once
+
+
+def test_incremental_dedup_replay_sees_only_committed_store(spark, doc_stream_dir, tmp_path):
+    """A replayed epoch must dedupe against exactly the epochs committed
+    BEFORE it — its own (possibly partial) output is invisible."""
+    out = str(tmp_path / "store")
+    ledger = OffsetsLedger(str(tmp_path), "dedup")
+    sink = incremental_dedup_sink(out, ledger)
+    _run(spark, doc_stream_dir, out, sink)
+    before = sorted(map(tuple, sink.read_output(spark).collect()))
+    # re-deliver an already-committed epoch: idempotent no-op
+    sink(spark.createDataFrame(EPOCHS[1], DOC_SCHEMA), epoch_id=ledger.epochs()[1])
+    after = sorted(map(tuple, sink.read_output(spark).collect()))
+    assert before == after
