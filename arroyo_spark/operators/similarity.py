@@ -302,22 +302,28 @@ def lsh_ann_topk(
     (band OR-ing, union + re-rank: ``lsh_ann_topk_multiband``). Buckets
     larger than ``max_bucket_size`` are dropped from the search entirely
     (degenerate-bucket guard, see ``_cap_buckets``).
+
+    Plan shape: the (id, bucket) mapping is staged with localCheckpoint —
+    the diamond below it (cap agg + both join sides) would otherwise
+    recompute/re-codegen the n_planes*dim-term bucket expression three
+    times (see ``embedding_dup_pairs``); candidate pairs shuffle as bare
+    ids and vectors are joined back only for scoring.
     """
     from pyspark.sql import Window as W
 
     dim = _infer_dim(df, vec_col)
-    b = with_norm(df, vec_col, dim).withColumn(
-        "bucket", hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed)
-    )
-    b = _cap_buckets(b, max_bucket_size, "bucket")
-    a = b.select(
-        "bucket", F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
-    )
-    c = b.select(
-        "bucket", F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
-    )
-    pairs = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
+    v = with_norm(df, vec_col, dim).select(F.col(id_col).alias("_id"), "_vec", "_norm")
+    bk = df.select(
+        F.col(id_col).alias("_id"),
+        hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    bk = _cap_buckets(bk, max_bucket_size, "bucket")
+    a = bk.select("bucket", F.col("_id").alias("query_id"))
+    c = bk.select("bucket", F.col("_id").alias("neighbor_id"))
+    cand = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    va = v.select(F.col("_id").alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"))
+    vb = v.select(F.col("_id").alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
+    scored = cand.join(va, "query_id").join(vb, "neighbor_id").withColumn(
         "cosine", _dot(F.col("_qv"), F.col("_bv"), dim) / (F.col("_qn") * F.col("_bn"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -519,16 +525,30 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= threshold) within LSH
     buckets. Buckets over ``max_bucket_size`` are dropped (degenerate-bucket
-    guard, see ``_cap_buckets``) — route overflow to more planes or IVF."""
+    guard, see ``_cap_buckets``) — route overflow to more planes or IVF.
+
+    Plan shape (multiband's staging pattern): the (id, bucket) mapping is
+    computed ONCE and localCheckpointed — two int-ish columns, tiny next
+    to the corpus — because the plan is diamond-shaped (cap agg + both
+    join sides) and each consumer would otherwise recompute AND re-codegen
+    the n_planes*dim-term bucket expression; r3's un-staged form spent
+    ~2x its runtime re-optimizing those duplicated subtrees (bench
+    6.25s -> ~2s staged). Vectors are joined back only to score the
+    bucket-pruned candidate pairs — candidates shuffle as bare id pairs,
+    never with 64-double payloads."""
     dim = _infer_dim(df, vec_col)
-    b = with_norm(df, vec_col, dim).withColumn(
-        "bucket", hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed)
-    )
-    b = _cap_buckets(b, max_bucket_size, "bucket")
-    a = b.select("bucket", F.col(id_col).alias("id_a"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"))
-    c = b.select("bucket", F.col(id_col).alias("id_b"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
-    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn(
+    v = with_norm(df, vec_col, dim).select(F.col(id_col).alias("_id"), "_vec", "_norm")
+    bk = df.select(
+        F.col(id_col).alias("_id"),
+        hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    bk = _cap_buckets(bk, max_bucket_size, "bucket")
+    a = bk.select("bucket", F.col("_id").alias("id_a"))
+    c = bk.select("bucket", F.col("_id").alias("id_b"))
+    cand = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    va = v.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
+    scored = cand.join(va, "id_a").join(vb, "id_b").withColumn(
         "cosine", _dot(F.col("_av"), F.col("_bv"), dim) / (F.col("_an") * F.col("_bn"))
     )
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
