@@ -60,6 +60,9 @@ class ExactlyOnceSink:
     _synthetic_next: int = field(default=0, repr=False)
     # cached copy of schema.json (None until first commit or first read)
     _schema_json: str | None = field(default=None, repr=False)
+    # partitions seen so far (lineage fast path): None until first lineage
+    # epoch, then recovered from the ledger + grown on rebalance
+    _known_partitions: set | None = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         if self.dlq_limit is not None:
@@ -134,14 +137,17 @@ class ExactlyOnceSink:
 
         has_lineage = "partition" in batch_df.columns and "offset" in batch_df.columns
         needs_dlq = self.valid is not None or INVALID_REASON_COL in batch_df.columns
-        if not needs_dlq and not has_lineage and self.transform is None:
+        if not needs_dlq:
             # FAST PATH — one Spark job per epoch. The stats the ledger
-            # needs (row count, max event time) are folded into the write
-            # job itself with observe()/CollectMetrics: no persist, no
-            # separate stats action. Per-epoch driver actions are serial
-            # cost that caps scaling efficiency (measured ~2.3s/epoch
-            # fixed cost in the r3 scaling runs, partly this extra pass).
-            self._commit_fast(batch_df, epoch_id, t0)
+            # needs (row count, per-partition next-offsets, max event time)
+            # are folded into the write job itself with observe()/
+            # CollectMetrics: no persist, no separate stats action.
+            # Per-epoch driver actions are serial cost that caps scaling
+            # efficiency (measured ~2.3s/epoch fixed cost in the r3
+            # scaling runs, partly this extra pass). The DLQ-splitting
+            # configuration stays on the two-pass path: its limit check
+            # must fail-stop BEFORE anything is written.
+            self._commit_fast(batch_df, epoch_id, t0, has_lineage)
             return
         batch_df = batch_df.persist()
         try:
@@ -213,14 +219,28 @@ class ExactlyOnceSink:
         finally:
             batch_df.unpersist()
 
-    def _commit_fast(self, batch_df: DataFrame, epoch_id: int, t0: float) -> None:
-        """Single-job epoch commit: observe() folds the ledger stats (row
-        count, max event time) into the data write itself — the epoch costs
-        exactly one Spark job and zero persists. Valid only for the
-        lineage-less / no-DLQ / no-transform configuration (the standard
-        streaming-aggregation deployment): lineage batches need the
-        per-partition groupBy for next-offsets, and the DLQ limit check
-        must fail-stop BEFORE anything is written."""
+    def _commit_fast(
+        self, batch_df: DataFrame, epoch_id: int, t0: float, has_lineage: bool
+    ) -> None:
+        """Single-job epoch commit: observe() folds the ledger stats into
+        the data write itself — the epoch costs exactly one Spark job and
+        zero persists (plus a rare rebalance fallback, below).
+
+        The observe node sits BELOW the transform, so counts reflect the
+        epoch's input rows exactly as the two-pass path measured them;
+        predicate pushdown does not cross CollectMetrics, so a filtering
+        transform cannot shrink them. (A transform containing LIMIT could
+        under-run the scan — not a streaming-transform shape; the DLQ path
+        keeps explicit counting anyway.)
+
+        Lineage batches need per-partition next-offsets, which a global
+        observe cannot group — but the partition set is small and nearly
+        static (it changes only on rebalance), so the sink keeps a
+        known-partition set and observes `max(offset) WHERE partition = p`
+        per known partition, plus a count of rows from UNKNOWN partitions.
+        Steady state: one job. When an unknown partition appears (first
+        epoch after start/rebalance): one extra aggregation pass over just
+        the unknown partitions' rows, then it joins the known set."""
         from pyspark.sql import Observation
 
         ts_col = next((c for c in ("ts", "win_end", "win_start") if c in batch_df.columns), None)
@@ -228,12 +248,60 @@ class ExactlyOnceSink:
         aggs = [F.count(F.lit(1)).alias("n")]
         if ts_col is not None:
             aggs.append(F.max(ts_col).alias("mts"))
-        out = batch_df.observe(obs, *aggs)
+        known: list[int] = []
+        if has_lineage:
+            if self._known_partitions is None:
+                # restart recovery: partitions seen by committed epochs
+                self._known_partitions = set(self.ledger.committed_offsets())
+            known = sorted(self._known_partitions)
+            for p in known:
+                aggs.append(
+                    F.max(F.when(F.col("partition") == p, F.col("offset"))).alias(f"no_{p}")
+                )
+            aggs.append(
+                F.count(
+                    F.when(~F.col("partition").isin(known) if known else F.lit(True), 1)
+                ).alias("unknown_n")
+            )
+        observed = batch_df.observe(obs, *aggs)
+        out = self.transform(observed) if self.transform is not None else observed
         self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
         self._write_schema_once(out)
-        vals = obs.get
+        try:
+            vals = obs.get
+        except Exception:  # noqa: BLE001 — see below
+            # the optimizer can REMOVE the CollectMetrics node when the
+            # transform folds to an empty relation (e.g. filter(lit(False))
+            # — PropagateEmptyRelation replaces the whole subtree), leaving
+            # the observation unset. Rare and cheap by construction (the
+            # plan that triggers it does no scan work): fall back to the
+            # explicit stats pass over batch_df.
+            row = batch_df.agg(*aggs).collect()[0]
+            vals = row.asDict()
+        next_offsets: dict[int, int] = {}
+        max_ts = vals.get("mts")
+        if has_lineage:
+            for p in known:
+                if vals.get(f"no_{p}") is not None:
+                    next_offsets[p] = vals[f"no_{p}"] + 1
+            if vals.get("unknown_n", 0):
+                # rebalance fallback: aggregate ONLY the new partitions'
+                # rows (batch_df is re-computable inside foreachBatch —
+                # pinned to this epoch's offsets, deterministic)
+                fresh = batch_df
+                if known:
+                    fresh = fresh.filter(~F.col("partition").isin(known))
+                for r in (
+                    fresh.groupBy("partition")
+                    .agg((F.max("offset") + 1).alias("no"), F.max("ts").alias("mts"))
+                    .collect()
+                ):
+                    next_offsets[r["partition"]] = r["no"]
+                    if r["mts"] is not None:
+                        max_ts = max(max_ts, r["mts"]) if max_ts else r["mts"]
+                self._known_partitions.update(next_offsets)
         self._finalize(
-            epoch_id, t0, vals["n"], 0, vals.get("mts"), {}, has_lineage=False
+            epoch_id, t0, vals["n"], 0, max_ts, next_offsets, has_lineage=has_lineage
         )
 
     def _finalize(

@@ -129,6 +129,13 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / flagship_sec, 1),
                 "flagship_turns": n_turns,
                 "cpus": CPUS,
+                # methodology label (r3 lesson: an action change silently
+                # invalidated cross-round comparisons). checksum-v1 = every
+                # query materialized via agg(count, bit_xor(xxhash64(*cols)))
+                # — all output columns load-bearing; best-of-RUNS per query
+                # after a 2-query warmup. Comparable to BENCH_r03, NOT to
+                # r01/r02 (those used .count(), which pruned projections).
+                "methodology": "checksum-v1, best-of-%d, warmup" % max(RUNS, 1),
             }
         )
     )

@@ -107,6 +107,52 @@ def test_sink_fast_path_metrics_and_output(spark, tmp_path):
     assert len(ledger.epochs()) == 2
 
 
+def test_sink_lineage_fast_path_offsets_and_counts(spark, tmp_path):
+    """Lineage epochs (partition/offset columns) also run single-job: the
+    per-known-partition next-offsets come out of observe(); an unknown
+    partition triggers the one-time rebalance fallback; a filtering
+    transform must NOT shrink run.count (observe sits below it and
+    pushdown does not cross CollectMetrics)."""
+    ledger = OffsetsLedger(str(tmp_path), "lin")
+    sink = ExactlyOnceSink(
+        output_dir=str(tmp_path / "lin"),
+        ledger=ledger,
+        transform=lambda df: df.filter(F.col("id") % 2 == 0),
+    )
+
+    def batch(parts: dict[int, range]):
+        rows = [
+            (p, o, o, __import__("datetime").datetime(2026, 1, 1, 0, 0, o % 60))
+            for p, rng in parts.items()
+            for o in rng
+        ]
+        return spark.createDataFrame(rows, "partition int, offset long, id long, ts timestamp")
+
+    sink(batch({0: range(10), 1: range(5)}), 0)  # both partitions unknown -> fallback
+    sink(batch({0: range(10, 30), 1: range(5, 8)}), 1)  # steady state, known set
+    sink(batch({0: range(30, 31), 2: range(4)}), 2)  # partition 2 = rebalance
+
+    assert ledger.committed_offsets() == {0: 31, 1: 8, 2: 4}
+    entries = {e["epoch_id"]: e for e in ledger.entries()}
+    # run.count is the INPUT row count, not the post-filter count
+    assert entries[0]["metrics"]["arroyo.consumer.run.count"] == 15.0
+    assert entries[1]["metrics"]["arroyo.consumer.run.count"] == 23.0
+    assert entries[2]["metrics"]["arroyo.consumer.run.count"] == 5.0
+    # the written data IS transformed
+    out = sink.read_output(spark)
+    assert out.filter(F.col("id") % 2 == 1).count() == 0
+
+    # restart recovery: a fresh sink learns the partition set from the
+    # ledger and keeps exact offsets on the steady-state path
+    sink2 = ExactlyOnceSink(
+        output_dir=str(tmp_path / "lin"),
+        ledger=ledger,
+        transform=lambda df: df.filter(F.col("id") % 2 == 0),
+    )
+    sink2(batch({0: range(31, 40), 2: range(4, 6)}), 3)
+    assert ledger.committed_offsets() == {0: 40, 1: 8, 2: 6}
+
+
 def test_sink_schema_change_fails_loudly(spark, tmp_path):
     """A mid-stream output schema change must not be silently nulled by
     readers pinned to the persisted schema.json (ADVICE r3)."""

@@ -1,0 +1,84 @@
+"""Quiet-window hunter: run a scaling pair only when the host is quiet.
+
+This VM shares a host; the 4→16 silicon ladder varies 3.0x–3.9x by the
+hour. A same-window scaling pair is only meaningful in a quiet window, so:
+1. measure the no-Spark CPU ladder (cheap, ~2 min);
+2. if the 4→16 ratio clears --min-ratio, run local[4] then local[16]
+   back-to-back (same window) and append both results to a JSONL pool;
+3. else exit 3 (caller retries later).
+
+Pool entries are raw scaling_worker JSON + the window's ladder ratio; fold
+them into the evidence file with tools/merge_scaling_evidence.py (wrap the
+pool into an all_runs dict first — see BENCH/BASELINE.md appendix).
+
+Usage: python tools/quiet_hunter.py --pool /tmp/pool.jsonl [--min-ratio 3.7]
+       [--levels 4,16] [--skip-lo]  (--skip-lo: only the 16-core leg —
+       useful when the 4-leg already has a quiet sample)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.cpu_ladder import run_level as ladder_level  # noqa: E402
+
+
+def worker(cores: int, workdir: str) -> dict:
+    os.sync()
+    time.sleep(10)
+    out = subprocess.run(
+        [
+            sys.executable,
+            f"{REPO}/tools/scaling_worker.py",
+            "--cores", str(cores),
+            "--source", "/tmp/arroyo_spark_scaling/input/turns",
+            "--calls", "/tmp/arroyo_spark_scaling/input/calls",
+            "--workdir", workdir,
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pool", required=True)
+    p.add_argument("--min-ratio", type=float, default=3.7)
+    p.add_argument("--levels", default="4,16")
+    p.add_argument("--workdir", default="/tmp/arroyo_spark_scaling/hunt")
+    p.add_argument("--skip-lo", action="store_true")
+    args = p.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    lad = {p_: max(ladder_level(p_, 12_000_000)[0] for _ in range(2)) for p_ in (lo, hi)}
+    ratio = lad[hi] / lad[lo]
+    print(f"ladder {lo}->{hi}: {ratio:.2f}x", file=sys.stderr)
+    if ratio < args.min_ratio:
+        print(json.dumps({"quiet": False, "ladder_ratio": round(ratio, 2)}))
+        return 3
+
+    results = []
+    for level in ([hi] if args.skip_lo else [lo, hi]):
+        r = worker(level, args.workdir)
+        r["window_ladder_ratio"] = round(ratio, 2)
+        r["t_wall"] = time.time()
+        results.append(r)
+        with open(args.pool, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        print(f"local[{level}]: {r['turns_per_sec']} turns/s", file=sys.stderr)
+    print(json.dumps({"quiet": True, "ladder_ratio": round(ratio, 2), "runs": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
