@@ -158,6 +158,12 @@ def minhash_candidates(
     bands = lsh_bands(
         minhash_signatures(df, id_col, text_col, n_perm, shingle_n), id_col, band_size
     )
+    # stage the (id, band, band_key) mapping — three small columns — since
+    # the plan below is diamond-shaped (cap agg + both self-join sides):
+    # unstaged, each consumer would recompute the whole signature subtree
+    # (md5 + shingle explode + two aggregations). On a cluster the same
+    # staging is a temp-table write.
+    bands = bands.localCheckpoint(eager=False)
     # degenerate buckets are found with a partial-aggregating groupBy and
     # removed via broadcast anti-join (similarity._cap_buckets): counting
     # them with a window over (band, band_key) would shuffle every band row
