@@ -136,18 +136,22 @@ def cosine_topk_blocked(
     # as cosine_topk (cosine undefined; NaN ordering differs across
     # engines, which would break the bit-identical-verifier claim on
     # exactly the degenerate embeddings _cap_buckets warns about)
+    # NOTE: the bound is checked post-collect (a .limit() would add a
+    # single-partition funnel exchange, ~2x the whole collect step); the
+    # check still turns contract misuse into a clear error before the
+    # query matrix is built and broadcast into every task.
     qrows = (
         with_norm(queries, vec_col, dim)
         .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("_id"), "_vec", "_norm")
-        .limit(max_queries + 1)
         .collect()
     )
     if len(qrows) > max_queries:
         raise ValueError(
             f"cosine_topk_blocked collects the query set to the driver: got "
-            f"> max_queries={max_queries} rows — this is the bounded-query "
-            "verifier; use lsh_ann_topk / ivf_ann_topk for corpus-vs-corpus"
+            f"{len(qrows)} > max_queries={max_queries} rows — this is the "
+            "bounded-query verifier; use lsh_ann_topk / ivf_ann_topk for "
+            "corpus-vs-corpus"
         )
     Q = np.array([r["_vec"] for r in qrows], dtype=np.float64)  # (q, dim)
     qids = np.array([r["_id"] for r in qrows])
