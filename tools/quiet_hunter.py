@@ -54,6 +54,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--pool", required=True)
     p.add_argument("--min-ratio", type=float, default=3.7)
+    p.add_argument("--min-abs-lo", type=float, default=0.0)
+    p.add_argument("--min-abs-hi", type=float, default=0.0)
     p.add_argument("--levels", default="4,16")
     p.add_argument("--workdir", default="/tmp/arroyo_spark_scaling/hunt")
     p.add_argument("--skip-lo", action="store_true")
@@ -62,15 +64,29 @@ def main() -> int:
 
     lad = {p_: max(ladder_level(p_, 12_000_000)[0] for _ in range(2)) for p_ in (lo, hi)}
     ratio = lad[hi] / lad[lo]
-    print(f"ladder {lo}->{hi}: {ratio:.2f}x", file=sys.stderr)
-    if ratio < args.min_ratio:
-        print(json.dumps({"quiet": False, "ladder_ratio": round(ratio, 2)}))
+    print(
+        f"ladder {lo}->{hi}: {ratio:.2f}x  (abs {lad[lo]:.3g} / {lad[hi]:.3g} ops/s)",
+        file=sys.stderr,
+    )
+    # gate on RATIO *and* ABSOLUTE per-level throughput: a contended
+    # window can suppress the lo-proc ladder leg and fake a >=4x ratio
+    # (observed: ratio 4.19 while the job ran its slowest-ever legs).
+    # --min-abs-lo/hi default 0 (off) — calibrate from printed abs values.
+    quiet = (
+        ratio >= args.min_ratio
+        and lad[lo] >= args.min_abs_lo
+        and lad[hi] >= args.min_abs_hi
+    )
+    if not quiet:
+        print(json.dumps({"quiet": False, "ladder_ratio": round(ratio, 2),
+                          "ladder_abs": {str(lo): lad[lo], str(hi): lad[hi]}}))
         return 3
 
     results = []
     for level in ([hi] if args.skip_lo else [lo, hi]):
         r = worker(level, args.workdir)
         r["window_ladder_ratio"] = round(ratio, 2)
+        r["window_ladder_abs"] = {str(lo): round(lad[lo], 1), str(hi): round(lad[hi], 1)}
         r["t_wall"] = time.time()
         results.append(r)
         with open(args.pool, "a") as f:
