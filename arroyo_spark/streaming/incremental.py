@@ -76,3 +76,122 @@ def incremental_dedup_sink(
     sink = ExactlyOnceSink(output_dir=output_dir, ledger=ledger, **sink_kwargs)
     sink.transform = epoch_dedup_transform(sink, id_col, text_col)
     return sink
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-duplicate dedup (MinHash-LSH over the committed band store)
+# ---------------------------------------------------------------------------
+def epoch_minhash_transform(
+    sink: ExactlyOnceSink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+):
+    """Per-epoch MinHash-LSH near-dup transform — streaming equal to the
+    batch rule by construction.
+
+    Keep rule (the standard scalable LSH-dedup rule, applied first-wins):
+    a document is DROPPED iff any of its LSH band buckets was already
+    occupied by ANY earlier document — earlier epoch (committed store) or
+    smaller id within this epoch. "Any earlier document" — kept or
+    dropped — is deliberate: it makes the rule non-recursive (no
+    connected-components pass per epoch) AND makes the streaming result
+    provably equal to the same rule evaluated in one batch over the whole
+    corpus, because the committed store records the band rows of EVERY
+    seen document, not only the keepers.
+
+    Committed output per epoch: the epoch's band rows
+    (id, band, band_key, kept) — the band store and the keep-set are the
+    same table (keep-set = ``kept`` rows, one per doc per band; dedupe on
+    id to enumerate docs). At 10^12 docs this is the bucketed Iceberg
+    band table; per epoch the store side is read as two small columns
+    with a left-semi join — documents themselves never reshuffle.
+    """
+    from arroyo_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        bands = lsh_bands(
+            minhash_signatures(batch_df, id_col, text_col, n_perm, shingle_n),
+            id_col,
+            band_size,
+        ).localCheckpoint(eager=False)  # consumed 3x below (store hit, self-join x2)
+        try:
+            store = sink.read_output(spark).select("band", "band_key")
+        except FileNotFoundError:
+            store = None
+        hit_store = (
+            bands.join(store, ["band", "band_key"], "left_semi").select(id_col).distinct()
+            if store is not None
+            else None
+        )
+        a = bands.select(F.col(id_col).alias("_ida"), "band", "band_key")
+        c = bands.select(F.col(id_col).alias("_idb"), "band", "band_key")
+        hit_epoch = (
+            a.join(c, ["band", "band_key"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select(F.col("_idb").alias(id_col))
+            .distinct()
+        )
+        dropped = hit_epoch if hit_store is None else hit_store.unionByName(hit_epoch).distinct()
+        return bands.join(
+            dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+        ).select(
+            id_col, "band", "band_key", F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept")
+        )
+
+    return transform
+
+
+def incremental_minhash_sink(
+    output_dir: str,
+    ledger: OffsetsLedger,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    **sink_kwargs,
+) -> ExactlyOnceSink:
+    """ExactlyOnceSink committing per-epoch LSH band rows with a ``kept``
+    flag; keep-set = first-arrival docs with no band collision against
+    anything seen before (see ``epoch_minhash_transform``)."""
+    sink = ExactlyOnceSink(output_dir=output_dir, ledger=ledger, **sink_kwargs)
+    sink.transform = epoch_minhash_transform(
+        sink, id_col, text_col, n_perm, band_size, shingle_n
+    )
+    return sink
+
+
+def minhash_keep_set(sink: ExactlyOnceSink, spark, id_col: str = "doc_id") -> DataFrame:
+    """Doc ids kept across all committed epochs (one row per doc)."""
+    return sink.read_output(spark).filter(F.col("kept")).select(id_col).distinct()
+
+
+def batch_minhash_keep_set(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The SAME keep rule evaluated in one batch over the whole corpus —
+    the equivalence oracle for the streaming composition: drop every doc
+    that shares a band bucket with any smaller-id doc."""
+    from arroyo_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    bands = lsh_bands(
+        minhash_signatures(df, id_col, text_col, n_perm, shingle_n), id_col, band_size
+    ).localCheckpoint(eager=False)
+    a = bands.select(F.col(id_col).alias("_ida"), "band", "band_key")
+    c = bands.select(F.col(id_col).alias("_idb"), "band", "band_key")
+    dropped = (
+        a.join(c, ["band", "band_key"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).distinct().join(dropped, id_col, "left_anti")

@@ -132,3 +132,85 @@ def test_incremental_dedup_replay_sees_only_committed_store(spark, doc_stream_di
     sink(spark.createDataFrame(EPOCHS[1], DOC_SCHEMA), epoch_id=ledger.epochs()[1])
     after = sorted(map(tuple, sink.read_output(spark).collect()))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH near-dup dedup
+# ---------------------------------------------------------------------------
+NEAR_EPOCHS = [
+    # near-dup pairs share most 3-shingles -> same minhash bands
+    [(0, "the quick brown fox jumps over the lazy dog today"),
+     (1, "an entirely different document about spark streaming engines"),
+     (2, "the quick brown fox jumps over the lazy dog today!")],  # near-dup of 0
+    [(3, "another unrelated text with its own vocabulary entirely"),
+     (4, "an entirely different document about spark streaming engines ok")],  # near-dup of 1
+    [(5, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+     (6, "completely fresh content never seen before in any epoch")],
+]
+
+
+@pytest.fixture()
+def near_stream_dir(spark, tmp_path):
+    src = tmp_path / "near"
+    src.mkdir()
+    for i, rows in enumerate(NEAR_EPOCHS):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        tmp = str(tmp_path / f"_n{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / f"{i:03d}.parquet"))
+    return str(src)
+
+
+def _near_corpus(spark):
+    rows = [r for ep in NEAR_EPOCHS for r in ep]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_incremental_minhash_equals_batch_rule(spark, near_stream_dir, tmp_path):
+    from arroyo_spark.streaming.incremental import (
+        batch_minhash_keep_set,
+        incremental_minhash_sink,
+        minhash_keep_set,
+    )
+
+    out = str(tmp_path / "store")
+    ledger = OffsetsLedger(str(tmp_path), "near")
+    sink = incremental_minhash_sink(out, ledger)
+    _run(spark, near_stream_dir, out, sink)
+
+    assert len(ledger.epochs()) == len(NEAR_EPOCHS)
+    got = sorted(r["doc_id"] for r in minhash_keep_set(sink, spark).collect())
+    want = sorted(
+        r["doc_id"] for r in batch_minhash_keep_set(_near_corpus(spark)).collect()
+    )
+    assert got == want  # streaming rule == same rule over the whole corpus
+    # sanity on the fixture: the near/exact dups actually collided
+    assert 0 in got and 1 in got and 6 in got
+    assert 2 not in got and 4 not in got and 5 not in got
+
+
+def test_incremental_minhash_crash_restart(spark, near_stream_dir, tmp_path):
+    from arroyo_spark.streaming.incremental import (
+        batch_minhash_keep_set,
+        epoch_minhash_transform,
+        incremental_minhash_sink,
+        minhash_keep_set,
+    )
+
+    out = str(tmp_path / "store")
+    ledger = OffsetsLedger(str(tmp_path), "near")
+    crash_sink = _CrashAfter(output_dir=out, ledger=ledger)
+    crash_sink.crash_after = 1
+    crash_sink.transform = epoch_minhash_transform(crash_sink)
+    with pytest.raises(Exception, match="injected crash"):
+        _run(spark, near_stream_dir, out, crash_sink)
+    assert len(ledger.epochs()) == 1
+
+    sink2 = incremental_minhash_sink(out, ledger)
+    _run(spark, near_stream_dir, out, sink2)
+    assert len(ledger.epochs()) == len(NEAR_EPOCHS)
+    got = sorted(r["doc_id"] for r in minhash_keep_set(sink2, spark).collect())
+    want = sorted(
+        r["doc_id"] for r in batch_minhash_keep_set(_near_corpus(spark)).collect()
+    )
+    assert got == want
