@@ -12,6 +12,12 @@ This ladder measures aggregate multi-process STREAM-like copy bandwidth
 (numpy copyto over arrays far larger than LLC). Quiet window = aggregate
 GB/s near the session maximum at BOTH process counts.
 
+Hardened: children occasionally die before reaching the start barrier on
+this shared box (observed: 3 of 8 silently gone, the rest parked forever).
+Every blocking step has a timeout; a broken level is terminated and
+retried once; results are the surviving-process sum only if ALL procs
+reported, else the level is retried/failed loudly.
+
 Usage: python tools/mem_ladder.py [--procs 4,16] [--mb 256] [--reps 8]
 """
 
@@ -20,17 +26,22 @@ from __future__ import annotations
 import argparse
 import json
 import multiprocessing as mp
+import sys
 import time
 
 
-def kernel(mb: int, reps: int, barrier, q: mp.Queue) -> None:
+def kernel(mb: int, reps: int, barrier, q) -> None:
     import numpy as np
 
     n = mb * 1024 * 1024 // 8
     src = np.ones(n, dtype=np.float64)
     dst = np.empty_like(src)
     np.copyto(dst, src)  # warm page tables
-    barrier.wait()  # all procs stream together — true aggregate contention
+    try:
+        barrier.wait(timeout=120)  # all procs stream together
+    except Exception:
+        q.put(None)
+        return
     t0 = time.time()
     for _ in range(reps):
         np.copyto(dst, src)
@@ -39,18 +50,42 @@ def kernel(mb: int, reps: int, barrier, q: mp.Queue) -> None:
     q.put(2 * mb * reps / 1024 / dt)  # GB/s for this process
 
 
-def run_level(procs: int, mb: int, reps: int) -> float:
-    q: mp.Queue = mp.Queue()
-    barrier = mp.Barrier(procs)
-    ps = [mp.Process(target=kernel, args=(mb, reps, barrier, q)) for _ in range(procs)]
+def _run_level_once(procs: int, mb: int, reps: int) -> float | None:
+    ctx = mp.get_context("spawn")  # fork from a threaded parent is the
+    # prime suspect for the silent child deaths; spawn is clean
+    q = ctx.Queue()
+    barrier = ctx.Barrier(procs)
+    ps = [ctx.Process(target=kernel, args=(mb, reps, barrier, q), daemon=True) for _ in range(procs)]
     for p in ps:
         p.start()
-    rates = [q.get() for _ in ps]
-    for p in ps:
-        p.join()
+    rates: list[float] = []
+    deadline = time.time() + 180
+    try:
+        for _ in ps:
+            r = q.get(timeout=max(1.0, deadline - time.time()))
+            if r is None:
+                return None
+            rates.append(r)
+    except Exception:
+        return None
+    finally:
+        for p in ps:
+            if p.is_alive():
+                p.terminate()
+        for p in ps:
+            p.join(timeout=10)
     # sum of in-kernel rates: spawn/import excluded, overlap enforced by
     # the barrier (every proc streams while every other proc streams)
     return sum(rates)
+
+
+def run_level(procs: int, mb: int, reps: int) -> float:
+    for attempt in range(3):
+        r = _run_level_once(procs, mb, reps)
+        if r is not None:
+            return r
+        print(f"mem_ladder: level {procs} attempt {attempt + 1} broken; retrying", file=sys.stderr)
+    raise RuntimeError(f"mem_ladder: level {procs} failed 3 attempts")
 
 
 def main() -> None:
@@ -62,6 +97,7 @@ def main() -> None:
     out = {}
     for p in (int(x) for x in args.procs.split(",")):
         out[str(p)] = round(max(run_level(p, args.mb, args.reps) for _ in range(2)), 2)
+        print(f"mem_ladder: {p} procs -> {out[str(p)]} GB/s aggregate", file=sys.stderr)
     print(json.dumps({"aggregate_gbps": out}))
 
 

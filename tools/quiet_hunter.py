@@ -28,7 +28,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.cpu_ladder import run_level as ladder_level  # noqa: E402
+from tools.cpu_ladder import run_level as alu_level  # noqa: E402
+from tools.mem_ladder import run_level as mem_level  # noqa: E402
 
 
 def worker(cores: int, workdir: str) -> dict:
@@ -59,13 +60,27 @@ def main() -> int:
     p.add_argument("--levels", default="4,16")
     p.add_argument("--workdir", default="/tmp/arroyo_spark_scaling/hunt")
     p.add_argument("--skip-lo", action="store_true")
+    p.add_argument(
+        "--probe",
+        choices=("alu", "mem"),
+        default="alu",
+        help="quietness instrument: 'alu' = pure-CPU ops ladder; 'mem' = "
+        "aggregate STREAM-copy bandwidth (GB/s). The job is memory-"
+        "bandwidth-bound, so 'mem' is the probe that actually predicts "
+        "job throughput (an ALU-record window produced the worst job leg).",
+    )
     args = p.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
-    lad = {p_: max(ladder_level(p_, 12_000_000)[0] for _ in range(2)) for p_ in (lo, hi)}
+    if args.probe == "mem":
+        lad = {p_: max(mem_level(p_, 128, 8) for _ in range(2)) for p_ in (lo, hi)}
+        unit = "GB/s"
+    else:
+        lad = {p_: max(alu_level(p_, 12_000_000)[0] for _ in range(2)) for p_ in (lo, hi)}
+        unit = "ops/s"
     ratio = lad[hi] / lad[lo]
     print(
-        f"ladder {lo}->{hi}: {ratio:.2f}x  (abs {lad[lo]:.3g} / {lad[hi]:.3g} ops/s)",
+        f"{args.probe}-ladder {lo}->{hi}: {ratio:.2f}x  (abs {lad[lo]:.4g} / {lad[hi]:.4g} {unit})",
         file=sys.stderr,
     )
     # gate on RATIO *and* ABSOLUTE per-level throughput: a contended
@@ -86,6 +101,7 @@ def main() -> int:
     for level in ([hi] if args.skip_lo else [lo, hi]):
         r = worker(level, args.workdir)
         r["window_ladder_ratio"] = round(ratio, 2)
+        r["window_ladder_probe"] = args.probe
         r["window_ladder_abs"] = {str(lo): round(lad[lo], 1), str(hi): round(lad[hi], 1)}
         r["t_wall"] = time.time()
         results.append(r)
