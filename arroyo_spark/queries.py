@@ -1105,6 +1105,132 @@ def q_sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_merge(rollup, keys=["event_type"])
 
 
+# ---------------------------------------------------------------------------
+# CEP sequence patterns (MATCH_RECOGNIZE re-expressed as window chains —
+# operators/cep.py; single shuffle by key, K window passes)
+# ---------------------------------------------------------------------------
+@query(
+    "cep_funnel_events",
+    """
+WITH s0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         (event_type = 'signup') AS m_signup
+  FROM events
+), s1 AS (
+  SELECT *,
+    min(CASE WHEN m_signup THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen0,
+    min(CASE WHEN m_signup THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS anchor0
+  FROM s0
+), s2 AS (
+  SELECT *,
+    (event_type = 'click' AND seen0 IS NOT NULL
+       AND ts <= anchor0 + INTERVAL 30 DAY) AS m_click
+  FROM s1
+), s3 AS (
+  SELECT *,
+    min(CASE WHEN m_click THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen1
+  FROM s2
+), s4 AS (
+  SELECT *,
+    (event_type = 'purchase' AND seen1 IS NOT NULL
+       AND ts <= anchor0 + INTERVAL 30 DAY) AS m_purchase
+  FROM s3
+), agg AS (
+  SELECT user_id,
+    cast(floor(epoch(min(CASE WHEN m_signup THEN ts END))) AS bigint) AS signup_s,
+    cast(floor(epoch(min(CASE WHEN m_click THEN ts END))) AS bigint) AS click_s,
+    cast(floor(epoch(min(CASE WHEN m_purchase THEN ts END))) AS bigint) AS purchase_s
+  FROM s4 GROUP BY 1
+)
+SELECT * FROM agg WHERE purchase_s IS NOT NULL
+""",
+)
+def q_cep_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP 'followed by' funnel: signup → click → purchase per user within
+    30 days of the signup anchor, greedy earliest completion. One shuffle
+    (hash by user_id); the three steps are chained window passes over the
+    same sort — the 10^12-turn-safe shape (operators/cep.py docstring)."""
+    from arroyo_spark.operators import match_sequence
+
+    e = load_table(spark, sf_dir, "events")
+    out = match_sequence(
+        e,
+        key="user_id",
+        steps=[
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        ts_col="ts",
+        tiebreakers=["event_id"],
+        within="30 days",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("signup_ts").alias("signup_s"),
+        F.unix_timestamp("click_ts").alias("click_s"),
+        F.unix_timestamp("purchase_ts").alias("purchase_s"),
+    )
+
+
+@query(
+    "cep_adjacent_turns",
+    TRANSCRIPTS_CTE
+    + """
+, flagged AS (
+  SELECT conv_id, turn_idx, ts,
+         (role = 'user') AS f_u, (role = 'tool') AS f_t, (role = 'assistant') AS f_a
+  FROM transcripts
+), led AS (
+  SELECT conv_id, turn_idx, ts, f_u,
+         lead(f_t, 1) OVER w AS n1, lead(f_a, 2) OVER w AS n2,
+         lead(ts, 1) OVER w AS ts1, lead(ts, 2) OVER w AS ts2
+  FROM flagged
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       cast(floor(epoch(ts)) AS bigint) AS user_s,
+       cast(floor(epoch(ts1)) AS bigint) AS tool_s,
+       cast(floor(epoch(ts2)) AS bigint) AS assistant_s
+FROM led WHERE f_u AND n1 AND n2
+""",
+)
+def q_cep_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity pattern over transcripts: a user turn
+    immediately followed by a tool turn then an assistant turn (tool-use
+    resolution shape). lead()-chain over the per-conversation sort; no
+    extra shuffle beyond the conv_id partitioning."""
+    from arroyo_spark.operators import match_adjacent
+
+    t = transcripts_from_events(spark, sf_dir)
+    # (ts, turn_idx) order == turn_idx order (turn_idx is row_number over
+    # ts within the conversation), so the operator can report wall-clock
+    # times directly — no join-back.
+    out = match_adjacent(
+        t,
+        key="conv_id",
+        steps=[
+            ("user", F.col("role") == "user"),
+            ("tool", F.col("role") == "tool"),
+            ("assistant", F.col("role") == "assistant"),
+        ],
+        ts_col="ts",
+        tiebreakers=["turn_idx"],
+    )
+    return out.select(
+        "conv_id",
+        F.unix_timestamp("user_ts").alias("user_s"),
+        F.unix_timestamp("tool_ts").alias("tool_s"),
+        F.unix_timestamp("assistant_ts").alias("assistant_s"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

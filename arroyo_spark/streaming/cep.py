@@ -1,0 +1,118 @@
+"""Streaming CEP: stateful sequence-pattern detection across micro-batches.
+
+The batch operator (operators/cep.py::match_sequence) computes the greedy
+earliest chain with window functions; this is its streaming counterpart for
+an unbounded keyed stream: per-key state carries the earliest chain times
+found so far, each epoch advances it, and a key is emitted exactly once —
+in the epoch where its pattern completes. State survives restart via the
+checkpointed state store (same guarantee the reference gets from offset
+replay, /root/reference/arroyo/processing/strategies/reduce.py:15-66 —
+except here the partial chain itself is durable, so completion does not
+re-read history).
+
+Contract: per-key rows must arrive in non-decreasing (ts, *tiebreakers)
+order across epochs (epoch boundaries are time-ordered in this engine's
+PipeTopic replay; within an epoch any order is fine — rows are sorted
+before folding). Under that contract the emitted (key, step times) set is
+provably equal to the batch operator over the concatenated input: the
+greedy chain is an online fold — step 0 keeps the minimum matching ts,
+step k>0 sets once when its condition meets a row strictly after a
+completed step k-1, anchored within ``within`` of the step-0 time.
+
+Python-side work is O(rows) boolean/min bookkeeping over K small floats:
+the step *conditions* are evaluated JVM-side (Column expressions become
+``_f_k`` flag columns before the stateful fold), so no text/payload bytes
+cross into Python.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+Step = tuple[str, Column]
+
+
+def stateful_match_sequence(
+    df: DataFrame,
+    key: str,
+    steps: Sequence[Step],
+    ts_col: str = "ts",
+    tiebreakers: Sequence[str] = (),
+    within_s: float | None = None,
+) -> DataFrame:
+    """Emit ``(key, <name>_ts...)`` once per key, in the micro-batch where
+    the full pattern first completes. Output timestamps are the greedy
+    earliest chain — identical to batch ``match_sequence`` under the
+    in-order-per-key contract (module docstring)."""
+    if len(steps) < 2:
+        raise ValueError("stateful_match_sequence needs at least 2 steps")
+    k_steps = len(steps)
+    names = [n for n, _ in steps]
+
+    flagged = df.select(
+        F.col(key).alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        *[F.col(c).cast("double").alias(f"_tb{i}") for i, c in enumerate(tiebreakers)],
+        *[cond.cast("boolean").alias(f"_f{i}") for i, (_, cond) in enumerate(steps)],
+    )
+    sort_cols = ["_ts"] + [f"_tb{i}" for i in range(len(tiebreakers))]
+
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.DoubleType()) for i in range(k_steps)]
+        + [T.StructField("emitted", T.BooleanType())]
+    )
+    out_schema = T.StructType(
+        [T.StructField(key, T.StringType())]
+        + [T.StructField(f"{n}_ts", T.DoubleType()) for n in names]
+    )
+
+    def handle(
+        kt: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            *chain, emitted = state.get
+            chain = [None if (c is None or math.isnan(c)) else c for c in chain]
+        else:
+            chain, emitted = [None] * k_steps, False
+        if emitted:  # pattern already reported for this key — drain input
+            for _ in pdfs:
+                pass
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols)
+        flags = [batch[f"_f{i}"].to_numpy() for i in range(k_steps)]
+        tss = batch["_ts"].to_numpy()
+        for r in range(len(batch)):
+            ts = float(tss[r])
+            # compute against the PRE-row chain, apply after: a row never
+            # chains onto its own match ("strictly after", as in batch)
+            upd: dict[int, float] = {}
+            if flags[0][r] and (chain[0] is None or ts < chain[0]):
+                upd[0] = ts
+            for i in range(1, k_steps):
+                if (
+                    chain[i] is None
+                    and flags[i][r]
+                    and chain[i - 1] is not None
+                    and (within_s is None or ts <= chain[0] + within_s)
+                ):
+                    upd[i] = ts
+            for i, v in upd.items():
+                chain[i] = v
+            if chain[-1] is not None:
+                break
+        done = chain[-1] is not None
+        state.update(tuple([*chain, done]))
+        if done:
+            yield pd.DataFrame([{key: kt[0], **{f"{n}_ts": chain[i] for i, n in enumerate(names)}}])
+
+    return flagged.groupBy("_k").applyInPandasWithState(
+        handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

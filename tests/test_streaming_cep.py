@@ -1,0 +1,102 @@
+"""Streaming CEP (streaming/cep.py): cross-epoch completion, single
+emission, and equivalence with the batch operator on the same input."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arroyo_spark.operators import match_sequence
+from arroyo_spark.streaming.cep import stateful_match_sequence
+
+SCHEMA = "k string, ts timestamp, i int, ev string"
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+STEPS = lambda: [  # noqa: E731 — fresh Columns per call
+    ("a", F.col("ev") == "A"),
+    ("b", F.col("ev") == "B"),
+    ("c", F.col("ev") == "C"),
+]
+
+EPOCH1 = [
+    ("k1", _ts(1), 0, "A"),
+    ("k2", _ts(1), 0, "B"),  # B before any A — dead unless an A arrives
+    ("k3", _ts(1), 0, "A"),
+]
+EPOCH2 = [
+    ("k1", _ts(2), 1, "B"),
+    ("k1", _ts(3), 2, "C"),   # k1 completes here (A in epoch 1!)
+    ("k2", _ts(2), 1, "A"),
+    ("k3", _ts(30), 1, "B"),  # outside within=10min of k3's anchor
+]
+EPOCH3 = [
+    ("k1", _ts(4), 3, "C"),   # post-completion rows must not re-emit
+    ("k2", _ts(3), 2, "B"),
+    ("k2", _ts(4), 3, "C"),   # k2 completes (chain anchored at its A)
+    ("k3", _ts(31), 2, "C"),
+]
+
+
+def _run_stream(spark, tmp_path, epochs, within_s):
+    src = tmp_path / "src"
+    for i, rows in enumerate(epochs):
+        d = src / f"epoch={i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+        # FileStreamSource orders batches by file mtime — pin distinct,
+        # increasing mtimes so epoch order is deterministic on fast writes
+        for f in d.glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stateful_match_sequence(
+        stream, key="k", steps=STEPS(), tiebreakers=["i"], within_s=within_s
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM cep_out").collect()
+
+
+def test_stateful_match_completes_across_epochs(spark, tmp_path):
+    got = _run_stream(spark, tmp_path, [EPOCH1, EPOCH2, EPOCH3], within_s=600.0)
+    rows = {r["k"]: (r["a_ts"], r["b_ts"], r["c_ts"]) for r in got}
+    assert len(got) == len(rows) == 2  # k1 + k2, one emission each
+    assert rows["k1"] == (_ts(1).timestamp(), _ts(2).timestamp(), _ts(3).timestamp())
+    # k2's chain anchors at its epoch-2 A (the epoch-1 B is before any A)
+    assert rows["k2"] == (_ts(2).timestamp(), _ts(3).timestamp(), _ts(4).timestamp())
+    # k3 never completes: B/C fall outside within of its anchor
+
+
+@pytest.mark.parametrize("within", [None, 600.0])
+def test_stateful_match_equals_batch(spark, tmp_path, within):
+    all_rows = EPOCH1 + EPOCH2 + EPOCH3
+    batch = match_sequence(
+        spark.createDataFrame(all_rows, SCHEMA),
+        key="k",
+        steps=STEPS(),
+        tiebreakers=["i"],
+        within=None if within is None else f"{int(within)} seconds",
+    ).collect()
+    want = {
+        r["k"]: (r["a_ts"].timestamp(), r["b_ts"].timestamp(), r["c_ts"].timestamp())
+        for r in batch
+    }
+    got_rows = _run_stream(spark, tmp_path, [EPOCH1, EPOCH2, EPOCH3], within_s=within)
+    got = {r["k"]: (r["a_ts"], r["b_ts"], r["c_ts"]) for r in got_rows}
+    assert got == want and len(got_rows) == len(got)
