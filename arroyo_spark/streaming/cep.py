@@ -46,18 +46,47 @@ def stateful_match_sequence(
     ts_col: str = "ts",
     tiebreakers: Sequence[str] = (),
     within_s: float | None = None,
+    watermark_delay: str | None = None,
+    evict_after_s: float | None = None,
 ) -> DataFrame:
     """Emit ``(key, <name>_ts...)`` once per key, in the micro-batch where
     the full pattern first completes. Output timestamps are the greedy
     earliest chain — identical to batch ``match_sequence`` under the
-    in-order-per-key contract (module docstring)."""
+    in-order-per-key contract (module docstring).
+
+    State bound (the 10^12-turn concern: without eviction, state is O(keys)
+    forever). With ``watermark_delay`` set (e.g. ``"10 minutes"``), state is
+    evicted on event-time timeouts:
+
+    - **dead chains** (``within_s`` set, anchored, incomplete): evicted once
+      the watermark passes ``anchor + within_s``. EXACT — rows later than
+      the watermark can no longer satisfy the within check, and older rows
+      are dropped by the state operator, so the chain provably can never
+      complete.
+    - **never-anchored keys**: no state is written at all (re-created if a
+      step-0 match arrives later). Exact.
+    - **completed keys** (``evict_after_s`` set): the completion tombstone —
+      kept only to suppress a second emission — is evicted once the
+      watermark passes ``completion + evict_after_s``. This is the one
+      knob that trades exactness for bounded state (Flink CEP state-TTL
+      semantics): if a key matches AGAIN entirely after the horizon it
+      re-emits, where the batch operator (anchored at the global earliest
+      step-0 row) would not. Leave it ``None`` to keep tombstones forever.
+    """
     if len(steps) < 2:
         raise ValueError("stateful_match_sequence needs at least 2 steps")
+    if evict_after_s is not None and watermark_delay is None:
+        raise ValueError("evict_after_s requires watermark_delay")
     k_steps = len(steps)
     names = [n for n, _ in steps]
+    use_timeouts = watermark_delay is not None
 
-    flagged = df.select(
+    src = df.withWatermark(ts_col, watermark_delay) if use_timeouts else df
+    flagged = src.select(
         F.col(key).alias("_k"),
+        # the watermark column itself must survive the projection untouched
+        # for EventTimeTimeout; _ts is its double twin for the Python fold
+        *([F.col(ts_col)] if use_timeouts else []),
         F.col(ts_col).cast("double").alias("_ts"),
         *[F.col(c).cast("double").alias(f"_tb{i}") for i, c in enumerate(tiebreakers)],
         *[cond.cast("boolean").alias(f"_f{i}") for i, (_, cond) in enumerate(steps)],
@@ -73,9 +102,19 @@ def stateful_match_sequence(
         + [T.StructField(f"{n}_ts", T.DoubleType()) for n in names]
     )
 
+    def _set_timeout(state: GroupState, at_s: float) -> None:
+        # event-time timeouts must be strictly later than the watermark
+        at_ms = max(int(at_s * 1000), state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(at_ms)
+
     def handle(
         kt: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # dead chain (can never complete) or expired completion
+            # tombstone — see docstring for exactness of each case
+            state.remove()
+            return
         if state.exists:
             *chain, emitted = state.get
             chain = [None if (c is None or math.isnan(c)) else c for c in chain]
@@ -84,6 +123,10 @@ def stateful_match_sequence(
         if emitted:  # pattern already reported for this key — drain input
             for _ in pdfs:
                 pass
+            # invoking the function resets any registered timeout — the
+            # tombstone's eviction must be re-registered or it never fires
+            if use_timeouts and evict_after_s is not None:
+                _set_timeout(state, chain[-1] + evict_after_s)
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols)
@@ -109,10 +152,24 @@ def stateful_match_sequence(
             if chain[-1] is not None:
                 break
         done = chain[-1] is not None
+        if not done and chain[0] is None:
+            # never-anchored: write no state (re-created if an anchor
+            # arrives later — exact, and O(matched keys) instead of O(keys))
+            if state.exists:
+                state.remove()
+            return
         state.update(tuple([*chain, done]))
+        if use_timeouts:
+            if done and evict_after_s is not None:
+                _set_timeout(state, chain[-1] + evict_after_s)
+            elif not done and within_s is not None:
+                _set_timeout(state, chain[0] + within_s)
         if done:
             yield pd.DataFrame([{key: kt[0], **{f"{n}_ts": chain[i] for i, n in enumerate(names)}}])
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if use_timeouts else GroupStateTimeout.NoTimeout
+    )
     return flagged.groupBy("_k").applyInPandasWithState(
-        handle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        handle, out_schema, state_schema, "append", timeout
     )

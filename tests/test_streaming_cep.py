@@ -16,7 +16,7 @@ SCHEMA = "k string, ts timestamp, i int, ev string"
 
 
 def _ts(minute: int) -> datetime.datetime:
-    return datetime.datetime(2024, 1, 1, 0, minute)
+    return datetime.datetime(2024, 1, 1, 0, 0) + datetime.timedelta(minutes=minute)
 
 
 STEPS = lambda: [  # noqa: E731 — fresh Columns per call
@@ -71,6 +71,58 @@ def _run_stream(spark, tmp_path, epochs, within_s):
     )
     q.awaitTermination()
     return spark.sql("SELECT * FROM cep_out").collect()
+
+
+def test_eviction_bounds_state(spark, tmp_path):
+    """With watermark timeouts: dead chains evicted at anchor+within (exact),
+    completion tombstones at completion+evict_after_s, never-anchored keys
+    write no state — the state store drains to zero rows."""
+    epochs = [
+        [
+            ("done", _ts(0), 0, "A"),
+            ("done", _ts(1), 1, "B"),
+            ("done", _ts(2), 2, "C"),   # completes; tombstone until 00:02+60s
+            ("dead", _ts(0), 0, "A"),   # anchored; dead once wm > 00:00+300s
+            ("never", _ts(0), 0, "X"),  # never anchors -> no state at all
+        ],
+        [("never", _ts(60), 1, "X")],   # advances watermark to 01:00
+        [("never", _ts(90), 2, "X")],   # wm=01:00 at this batch -> evict both
+    ]
+    src = tmp_path / "src"
+    for i, rows in enumerate(epochs):
+        d = src / f"epoch={i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+        for f in d.glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stateful_match_sequence(
+        stream,
+        key="k",
+        steps=STEPS(),
+        tiebreakers=["i"],
+        within_s=300.0,
+        watermark_delay="0 seconds",
+        evict_after_s=60.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM cep_evict").collect()
+    assert [(r["k"], r["a_ts"], r["b_ts"], r["c_ts"]) for r in got] == [
+        ("done", _ts(0).timestamp(), _ts(1).timestamp(), _ts(2).timestamp())
+    ]
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] == 0, state
 
 
 def test_stateful_match_completes_across_epochs(spark, tmp_path):
