@@ -22,4 +22,8 @@ from arroyo_spark.operators.join import (  # noqa: F401
     stream_correlate,
 )
 from arroyo_spark.operators.buffer import stateful_buffer  # noqa: F401
-from arroyo_spark.operators.cep import match_adjacent, match_sequence  # noqa: F401
+from arroyo_spark.operators.cep import (  # noqa: F401
+    match_absence,
+    match_adjacent,
+    match_sequence,
+)

@@ -93,6 +93,46 @@ def match_sequence(
     return res.filter(F.col(f"{steps[-1][0]}_ts").isNotNull())
 
 
+def match_absence(
+    df: DataFrame,
+    key: str,
+    first: Step,
+    second: Step,
+    within: str,
+    ts_col: str = "ts",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Absence / timeout detection: every ``first``-matching row with NO
+    ``second``-matching row in the ``within`` interval strictly after it
+    (the CEP "A not followed by B" pattern — e.g. a tool call with no
+    assistant response within 5 minutes).
+
+    Output: one row per unresolved ``first`` match — ``key``,
+    ``<first>_ts``, and ``<second>_ts`` (the eventual too-late match, or
+    null if none ever came). Same single-shuffle shape as
+    ``match_sequence``: one window pass over the key's (ts, *tiebreakers)
+    sort computes the next-``second`` time for every row.
+    """
+    fname, fcond = first
+    sname, scond = second
+    nxt = (
+        Window.partitionBy(key)
+        .orderBy(*_order_cols(ts_col, tiebreakers))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    out = df.withColumn(
+        f"{sname}_ts", F.min(F.when(scond, F.col(ts_col))).over(nxt)
+    ).withColumn("_first", fcond)
+    deadline = F.col(ts_col) + F.expr(f"INTERVAL {within}")
+    return (
+        out.filter(
+            F.col("_first")
+            & (F.col(f"{sname}_ts").isNull() | (F.col(f"{sname}_ts") > deadline))
+        )
+        .select(key, F.col(ts_col).alias(f"{fname}_ts"), f"{sname}_ts")
+    )
+
+
 def match_adjacent(
     df: DataFrame,
     key: str,

@@ -1231,6 +1231,48 @@ def q_cep_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cep_unresolved_tools",
+    TRANSCRIPTS_CTE
+    + """
+, nxt AS (
+  SELECT conv_id, ts, role,
+    min(CASE WHEN role = 'assistant' THEN ts END) OVER (
+      PARTITION BY conv_id ORDER BY ts, turn_idx
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS assistant_ts
+  FROM transcripts
+)
+SELECT conv_id,
+       cast(floor(epoch(ts)) AS bigint) AS tool_s,
+       cast(floor(epoch(assistant_ts)) AS bigint) AS assistant_s
+FROM nxt
+WHERE role = 'tool'
+  AND (assistant_ts IS NULL OR assistant_ts > ts + INTERVAL 30 MINUTE)
+""",
+)
+def q_cep_unresolved_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence pattern: tool turns with NO assistant turn within 30
+    minutes after them (unresolved tool calls — the agent-transcript
+    timeout detector). One window pass over the per-conversation sort."""
+    from arroyo_spark.operators import match_absence
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = match_absence(
+        t,
+        key="conv_id",
+        first=("tool", F.col("role") == "tool"),
+        second=("assistant", F.col("role") == "assistant"),
+        within="30 minutes",
+        ts_col="ts",
+        tiebreakers=["turn_idx"],
+    )
+    return out.select(
+        "conv_id",
+        F.unix_timestamp("tool_ts").alias("tool_s"),
+        F.unix_timestamp("assistant_ts").alias("assistant_s"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -109,6 +109,29 @@ def test_match_adjacent_no_skips_and_overlap(spark):
     ]
 
 
+def test_match_absence_timeout_detection(spark):
+    from arroyo_spark.operators import match_absence
+
+    rows = [
+        ("a", _ts(1), 0, "T"),   # resolved @3 (within 5 min)
+        ("a", _ts(3), 1, "R"),
+        ("a", _ts(10), 2, "T"),  # next R is @20 — too late -> unresolved
+        ("a", _ts(20), 3, "R"),
+        ("b", _ts(1), 0, "T"),   # no R ever -> unresolved, null R ts
+        ("b", _ts(2), 1, "X"),
+    ]
+    out = match_absence(
+        _frame(spark, rows),
+        key="k",
+        first=("t", F.col("ev") == "T"),
+        second=("r", F.col("ev") == "R"),
+        within="5 minutes",
+        tiebreakers=["i"],
+    )
+    got = sorted((r["k"], r["t_ts"], r["r_ts"]) for r in out.collect())
+    assert got == [("a", _ts(10), _ts(20)), ("b", _ts(1), None)]
+
+
 def test_match_sequence_single_shuffle_plan(spark):
     """The K-step chain must cost ONE exchange: every window pass reuses the
     same (key) partitioning + (ts, tiebreakers) sort."""
