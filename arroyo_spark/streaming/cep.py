@@ -173,3 +173,99 @@ def stateful_match_sequence(
     return flagged.groupBy("_k").applyInPandasWithState(
         handle, out_schema, state_schema, "append", timeout
     )
+
+
+def stateful_match_absence(
+    df: DataFrame,
+    key: str,
+    first: Step,
+    second: Step,
+    within_s: float,
+    watermark_delay: str,
+    ts_col: str = "ts",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming timeout detector: emit ``(key, <first>_ts, <second>_ts)``
+    for every ``first`` match with no ``second`` match within ``within_s``
+    strictly after it.
+
+    Two emission paths, one per failure shape:
+
+    - a too-late ``second`` arrives -> emitted in that micro-batch, with
+      its time in ``<second>_ts`` (same row the batch operator produces);
+    - no ``second`` ever arrives -> emitted by the event-time TIMER when
+      the watermark passes ``first + within_s``, with ``<second>_ts``
+      null. This is the alert-at-deadline behavior a monitoring pipeline
+      actually wants — the batch operator, which sees the whole history,
+      reports the same (key, first_ts) rows.
+
+    State is the pending-``first`` list per key, evicted as resolved /
+    emitted — bounded by ``within_s`` x arrival rate, not by history.
+    Same in-order-per-key contract as ``stateful_match_sequence``.
+    """
+    fname, fcond = first
+    sname, scond = second
+    flagged = df.withWatermark(ts_col, watermark_delay).select(
+        F.col(key).alias("_k"),
+        F.col(ts_col),
+        F.col(ts_col).cast("double").alias("_ts"),
+        *[F.col(c).cast("double").alias(f"_tb{i}") for i, c in enumerate(tiebreakers)],
+        fcond.cast("boolean").alias("_fa"),
+        scond.cast("boolean").alias("_fb"),
+    )
+    sort_cols = ["_ts"] + [f"_tb{i}" for i in range(len(tiebreakers))]
+    state_schema = T.StructType([T.StructField("pending", T.ArrayType(T.DoubleType()))])
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(f"{fname}_ts", T.DoubleType()),
+            T.StructField(f"{sname}_ts", T.DoubleType()),
+        ]
+    )
+
+    def _emit(rows: list[tuple[str, float, float | None]]) -> pd.DataFrame:
+        return pd.DataFrame(rows, columns=[key, f"{fname}_ts", f"{sname}_ts"])
+
+    def handle(
+        kt: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        pending: list[float] = list(state.get[0]) if state.exists else []
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        out: list[tuple[str, float, float | None]] = []
+
+        if state.hasTimedOut:
+            still = [a for a in pending if wm <= a + within_s]
+            out = [(kt[0], a, None) for a in pending if wm > a + within_s]
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols)
+            fa = batch["_fa"].to_numpy()
+            fb = batch["_fb"].to_numpy()
+            tss = batch["_ts"].to_numpy()
+            for r in range(len(batch)):
+                ts = float(tss[r])
+                if fb[r] and pending:
+                    # this B is the NEXT second-match for every pending A
+                    # strictly before it: resolves the on-time ones, emits
+                    # the too-late ones (B against pending BEFORE the
+                    # row's own A-flag: a row never resolves itself)
+                    out.extend((kt[0], a, ts) for a in pending if ts > a + within_s)
+                    pending = []
+                if fa[r]:
+                    pending.append(ts)
+            # deadline may already have passed for old pendings (timer can
+            # coalesce with data arrival)
+            still = [a for a in pending if wm <= a + within_s]
+            out.extend((kt[0], a, None) for a in pending if wm > a + within_s)
+
+        if still:
+            state.update((still,))
+            at_ms = max(int((min(still) + within_s) * 1000), state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(at_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield _emit(out)
+
+    return flagged.groupBy("_k").applyInPandasWithState(
+        handle, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

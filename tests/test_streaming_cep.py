@@ -125,6 +125,58 @@ def test_eviction_bounds_state(spark, tmp_path):
     assert state["numRowsTotal"] == 0, state
 
 
+def test_stateful_absence_timeout_and_late_resolution(spark, tmp_path):
+    """Timeout detector: on-time B resolves silently; too-late B emits with
+    its time; no-B emits via the event-time timer with null; state drains."""
+    from arroyo_spark.streaming.cep import stateful_match_absence
+
+    epochs = [
+        [
+            ("k1", _ts(0), 0, "T"),
+            ("k2", _ts(0), 0, "T"),
+            ("k2", _ts(2), 1, "R"),   # on time (within 5 min) -> silent
+            ("k3", _ts(0), 0, "T"),
+        ],
+        [("k1", _ts(40), 1, "R")],    # too late -> emit (k1, 0, 40) now
+        [("x", _ts(41), 0, "X")],     # watermark 40min > k3 deadline -> timer
+    ]
+    src = tmp_path / "src"
+    for i, rows in enumerate(epochs):
+        d = src / f"epoch={i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+        for f in d.glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stateful_match_absence(
+        stream,
+        key="k",
+        first=("t", F.col("ev") == "T"),
+        second=("r", F.col("ev") == "R"),
+        within_s=300.0,
+        watermark_delay="0 seconds",
+        tiebreakers=["i"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_absence")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["k"], r["t_ts"], r["r_ts"]) for r in spark.sql("SELECT * FROM cep_absence").collect()}
+    assert got == {
+        ("k1", _ts(0).timestamp(), _ts(40).timestamp()),
+        ("k3", _ts(0).timestamp(), None),
+    }
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 0
+
+
 def test_stateful_match_completes_across_epochs(spark, tmp_path):
     got = _run_stream(spark, tmp_path, [EPOCH1, EPOCH2, EPOCH3], within_s=600.0)
     rows = {r["k"]: (r["a_ts"], r["b_ts"], r["c_ts"]) for r in got}
