@@ -25,5 +25,6 @@ from arroyo_spark.operators.buffer import stateful_buffer  # noqa: F401
 from arroyo_spark.operators.cep import (  # noqa: F401
     match_absence,
     match_adjacent,
+    match_runs,
     match_sequence,
 )

@@ -43,6 +43,14 @@ def _order_cols(ts_col: str, tiebreakers: Sequence[str]) -> list[Column]:
     return [F.col(ts_col)] + [F.col(c) for c in tiebreakers]
 
 
+def _partition(key: str, partition_by: Sequence[str] | None) -> list[str]:
+    """Window partition columns: ``partition_by`` may name a column set
+    that is partition-EQUIVALENT to ``key`` (e.g. the raw id a derived key
+    is a 1:1 function of) so the window reuses an upstream exchange on
+    those columns instead of re-shuffling by the derived key."""
+    return list(partition_by) if partition_by else [key]
+
+
 def match_sequence(
     df: DataFrame,
     key: str,
@@ -50,6 +58,7 @@ def match_sequence(
     ts_col: str = "ts",
     tiebreakers: Sequence[str] = (),
     within: str | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Earliest sequential completion of ``steps`` per ``key``.
 
@@ -67,7 +76,7 @@ def match_sequence(
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
     seen = (
-        Window.partitionBy(key)
+        Window.partitionBy(*_partition(key, partition_by))
         .orderBy(*_order_cols(ts_col, tiebreakers))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -101,6 +110,7 @@ def match_absence(
     within: str,
     ts_col: str = "ts",
     tiebreakers: Sequence[str] = (),
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Absence / timeout detection: every ``first``-matching row with NO
     ``second``-matching row in the ``within`` interval strictly after it
@@ -116,7 +126,7 @@ def match_absence(
     fname, fcond = first
     sname, scond = second
     nxt = (
-        Window.partitionBy(key)
+        Window.partitionBy(*_partition(key, partition_by))
         .orderBy(*_order_cols(ts_col, tiebreakers))
         .rowsBetween(1, Window.unboundedFollowing)
     )
@@ -133,12 +143,64 @@ def match_absence(
     )
 
 
+def match_runs(
+    df: DataFrame,
+    key: str,
+    cond: Column,
+    ts_col: str = "ts",
+    tiebreakers: Sequence[str] = (),
+    min_len: int = 1,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Kleene-plus quantifier (MATCH_RECOGNIZE ``A+`` / Flink CEP
+    ``oneOrMore().consecutive()``): every MAXIMAL run of consecutive
+    ``cond``-matching rows per ``key``, in the key's (ts, *tiebreakers)
+    order, with ``run_len >= min_len``.
+
+    Gaps-and-islands in one window pass: the island id is the running
+    count of NON-matching rows (constant within a run, bumps at every
+    break), then one groupBy((key, island)) aggregates each run's extent.
+    Output: ``key``, ``run_start_ts``, ``run_end_ts``, ``run_len``.
+
+    Scale shape: the same single hash-by-key Exchange + Sort every other
+    CEP operator pays; the island id is O(1) running state, and the final
+    aggregation groups by (key, _run) — a SUPERSET of the window's
+    partition keys, so Catalyst reuses the existing exchange (hash on a
+    subset satisfies clustering on the superset): no second shuffle.
+    ``partition_by`` (partition-EQUIVALENT columns, see ``_partition``)
+    is honored in both the window and the groupBy for upstream exchange
+    reuse."""
+    part = _partition(key, partition_by)
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*_order_cols(ts_col, tiebreakers))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    island = F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1))).over(w)
+    group_cols = list(dict.fromkeys([*part, key, "_run"]))
+    res = (
+        df.withColumn("_hit", cond)
+        .withColumn("_run", island)
+        .filter("_hit")
+        .groupBy(*group_cols)
+        .agg(
+            F.min(ts_col).alias("run_start_ts"),
+            F.max(ts_col).alias("run_end_ts"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+    )
+    if min_len > 1:
+        res = res.filter(F.col("run_len") >= min_len)
+    return res.select(key, "run_start_ts", "run_end_ts", "run_len")
+
+
 def match_adjacent(
     df: DataFrame,
     key: str,
     steps: Sequence[Step],
     ts_col: str = "ts",
     tiebreakers: Sequence[str] = (),
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Strict-contiguity pattern: K consecutive rows (no skips) in the
     key's (ts, *tiebreakers) order matching conditions 0..K-1.
@@ -150,7 +212,9 @@ def match_adjacent(
     """
     if len(steps) < 2:
         raise ValueError("match_adjacent needs at least 2 steps")
-    w = Window.partitionBy(key).orderBy(*_order_cols(ts_col, tiebreakers))
+    w = Window.partitionBy(*_partition(key, partition_by)).orderBy(
+        *_order_cols(ts_col, tiebreakers)
+    )
     out = df
     for name, cond in steps:
         out = out.withColumn(f"_f_{name}", cond)

@@ -1208,7 +1208,10 @@ def q_cep_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra shuffle beyond the conv_id partitioning."""
     from arroyo_spark.operators import match_adjacent
 
-    t = transcripts_from_events(spark, sf_dir)
+    # keep_user_id + partition_by: conv_id is 1:1 with user_id, so the
+    # pattern window partitions by the retained raw key and REUSES the
+    # transcript derivation's exchange — one shuffle total, not two.
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
     # (ts, turn_idx) order == turn_idx order (turn_idx is row_number over
     # ts within the conversation), so the operator can report wall-clock
     # times directly — no join-back.
@@ -1222,6 +1225,7 @@ def q_cep_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ts_col="ts",
         tiebreakers=["turn_idx"],
+        partition_by=["user_id"],
     )
     return out.select(
         "conv_id",
@@ -1256,7 +1260,9 @@ def q_cep_unresolved_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout detector). One window pass over the per-conversation sort."""
     from arroyo_spark.operators import match_absence
 
-    t = transcripts_from_events(spark, sf_dir)
+    # same exchange-reuse trick as cep_adjacent_turns: window by the
+    # retained user_id (1:1 with conv_id) -> single shuffle end-to-end
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
     out = match_absence(
         t,
         key="conv_id",
@@ -1265,11 +1271,59 @@ def q_cep_unresolved_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="30 minutes",
         ts_col="ts",
         tiebreakers=["turn_idx"],
+        partition_by=["user_id"],
     )
     return out.select(
         "conv_id",
         F.unix_timestamp("tool_ts").alias("tool_s"),
         F.unix_timestamp("assistant_ts").alias("assistant_s"),
+    )
+
+
+@query(
+    "cep_assistant_streaks",
+    TRANSCRIPTS_CTE
+    + """
+, islands AS (
+  SELECT conv_id, ts, (role = 'assistant') AS hit,
+         sum(CASE WHEN role = 'assistant' THEN 0 ELSE 1 END) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM transcripts
+)
+SELECT conv_id,
+       cast(floor(epoch(min(ts))) AS bigint) AS start_s,
+       cast(floor(epoch(max(ts))) AS bigint) AS end_s,
+       cast(count(*) AS bigint) AS run_len
+FROM islands WHERE hit
+GROUP BY conv_id, run
+HAVING count(*) >= 2
+""",
+)
+def q_cep_assistant_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP Kleene-plus quantifier (MATCH_RECOGNIZE ``assistant+``): every
+    maximal run of >=2 consecutive assistant turns per conversation
+    (multi-message assistant streaks — the agent-transcript "model kept
+    talking" detector). Gaps-and-islands: one window pass + one groupBy
+    that reuses the same exchange; with keep_user_id the whole query is a
+    single shuffle end-to-end."""
+    from arroyo_spark.operators import match_runs
+
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
+    out = match_runs(
+        t,
+        key="conv_id",
+        cond=F.col("role") == "assistant",
+        ts_col="ts",
+        tiebreakers=["turn_idx"],
+        min_len=2,
+        partition_by=["user_id"],
+    )
+    return out.select(
+        "conv_id",
+        F.unix_timestamp("run_start_ts").alias("start_s"),
+        F.unix_timestamp("run_end_ts").alias("end_s"),
+        "run_len",
     )
 
 

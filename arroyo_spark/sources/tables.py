@@ -54,12 +54,23 @@ SELECT
       WHEN 0 THEN 'search' WHEN 1 THEN 'python' WHEN 2 THEN 'bash' ELSE 'sql'
     END
   END                                                                    AS tool,
-  ts
+  ts{extra_cols}
 FROM events
 """
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcripts view over events.parquet (oracle-mirrorable)."""
+def transcripts_from_events(
+    spark: SparkSession, sf_dir: str, keep_user_id: bool = False
+) -> DataFrame:
+    """Transcripts view over events.parquet (oracle-mirrorable).
+
+    ``keep_user_id`` additionally carries the raw partition key through:
+    conv_id is derived 1:1 from user_id, but Catalyst cannot know
+    hashpartitioning(conv_id) == hashpartitioning-equivalent of user_id —
+    downstream per-conversation window/group operators that partition by
+    the retained ``user_id`` column REUSE the derivation window's exchange
+    instead of re-shuffling the whole transcript stream."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
+    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL.format(
+        extra_cols=", user_id" if keep_user_id else ""
+    ))

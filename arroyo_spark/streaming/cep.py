@@ -269,3 +269,107 @@ def stateful_match_absence(
     return flagged.groupBy("_k").applyInPandasWithState(
         handle, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def stateful_match_runs(
+    df: DataFrame,
+    key: str,
+    cond: Column,
+    ts_col: str = "ts",
+    tiebreakers: Sequence[str] = (),
+    min_len: int = 1,
+    watermark_delay: str | None = None,
+    idle_close_s: float | None = None,
+) -> DataFrame:
+    """Streaming Kleene-plus (``A+``): emit each MAXIMAL run of consecutive
+    ``cond``-matching rows per key, in the micro-batch where the run CLOSES
+    — a non-matching row arrives after it (the exact batch-``match_runs``
+    break), or, with ``idle_close_s``, the event-time timer fires once the
+    watermark passes ``run_end + idle_close_s`` (the alert-at-idle behavior
+    a monitor wants; Flink CEP state-TTL flavor). Without ``idle_close_s``
+    a run left open at stream end is never emitted — exactly the rows where
+    batch and an unbounded stream genuinely differ.
+
+    State per key is ONE open run (start, end, count) — O(live keys), not
+    O(history); closed runs leave no state. Same in-order-per-key contract
+    as ``stateful_match_sequence`` (module docstring); under it, the
+    emitted set with a break after every run equals the batch operator
+    with the same ``min_len``.
+    """
+    if idle_close_s is not None and watermark_delay is None:
+        raise ValueError("idle_close_s requires watermark_delay")
+    use_timeouts = watermark_delay is not None
+
+    src = df.withWatermark(ts_col, watermark_delay) if use_timeouts else df
+    flagged = src.select(
+        F.col(key).alias("_k"),
+        *([F.col(ts_col)] if use_timeouts else []),
+        F.col(ts_col).cast("double").alias("_ts"),
+        *[F.col(c).cast("double").alias(f"_tb{i}") for i, c in enumerate(tiebreakers)],
+        cond.cast("boolean").alias("_hit"),
+    )
+    sort_cols = ["_ts"] + [f"_tb{i}" for i in range(len(tiebreakers))]
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.DoubleType()),
+            T.StructField("end", T.DoubleType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("run_start_ts", T.DoubleType()),
+            T.StructField("run_end_ts", T.DoubleType()),
+            T.StructField("run_len", T.LongType()),
+        ]
+    )
+
+    def _emit(rows: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(rows, columns=[key, "run_start_ts", "run_end_ts", "run_len"])
+
+    def handle(
+        kt: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        run = tuple(state.get) if state.exists else None  # (start, end, cnt)
+        out: list[tuple] = []
+
+        if state.hasTimedOut:
+            # idle horizon passed: the open run closes by timer
+            if run is not None and run[2] >= min_len:
+                out.append((kt[0], *run))
+            state.remove()
+            if out:
+                yield _emit(out)
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(sort_cols)
+        hits = batch["_hit"].to_numpy()
+        tss = batch["_ts"].to_numpy()
+        for r in range(len(batch)):
+            ts = float(tss[r])
+            if hits[r]:
+                run = (ts, ts, 1) if run is None else (run[0], ts, run[2] + 1)
+            elif run is not None:
+                if run[2] >= min_len:
+                    out.append((kt[0], *run))
+                run = None
+        if run is not None:
+            state.update(run)
+            if use_timeouts and idle_close_s is not None:
+                at_ms = max(
+                    int((run[1] + idle_close_s) * 1000),
+                    state.getCurrentWatermarkMs() + 1,
+                )
+                state.setTimeoutTimestamp(at_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield _emit(out)
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if use_timeouts else GroupStateTimeout.NoTimeout
+    )
+    return flagged.groupBy("_k").applyInPandasWithState(
+        handle, out_schema, state_schema, "append", timeout
+    )

@@ -146,3 +146,59 @@ def test_match_sequence_single_shuffle_plan(spark):
     # one exchange for the window chain + (at most) one for the final
     # groupBy partial/final agg — never one per step
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_match_runs_maximal_islands(spark):
+    from arroyo_spark.operators import match_runs
+
+    rows = [
+        # k=a: runs of A at [1,2,3], break at 4, run [5,6], trailing B
+        ("a", _ts(1), 0, "A"),
+        ("a", _ts(2), 1, "A"),
+        ("a", _ts(3), 2, "A"),
+        ("a", _ts(4), 3, "B"),
+        ("a", _ts(5), 4, "A"),
+        ("a", _ts(6), 5, "A"),
+        ("a", _ts(7), 6, "B"),
+        # k=b: single-row run (filtered by min_len=2)
+        ("b", _ts(1), 0, "A"),
+        ("b", _ts(2), 1, "B"),
+    ]
+    out = match_runs(
+        _frame(spark, rows),
+        key="k",
+        cond=F.col("ev") == "A",
+        tiebreakers=["i"],
+        min_len=2,
+    ).collect()
+    got = sorted((r["k"], r["run_start_ts"], r["run_end_ts"], r["run_len"]) for r in out)
+    assert got == [
+        ("a", _ts(1), _ts(3), 3),
+        ("a", _ts(5), _ts(6), 2),
+    ]
+
+
+def test_match_runs_min_len_1_reports_every_island(spark):
+    from arroyo_spark.operators import match_runs
+
+    rows = [
+        ("a", _ts(1), 0, "A"),
+        ("a", _ts(2), 1, "B"),
+        ("a", _ts(3), 2, "A"),
+    ]
+    out = match_runs(
+        _frame(spark, rows), key="k", cond=F.col("ev") == "A", tiebreakers=["i"]
+    ).collect()
+    got = sorted((r["run_start_ts"], r["run_len"]) for r in out)
+    assert got == [(_ts(1), 1), (_ts(3), 1)]
+
+
+def test_match_runs_single_shuffle_plan(spark):
+    """Gaps-and-islands groupBy((key, _run)) must REUSE the window's
+    hash-by-key exchange (subset-satisfies-clustering): one exchange total."""
+    from arroyo_spark.operators import match_runs
+
+    rows = [("a", _ts(1), 0, "A"), ("a", _ts(2), 1, "A")]
+    df = match_runs(_frame(spark, rows), key="k", cond=F.col("ev") == "A", tiebreakers=["i"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -204,3 +204,102 @@ def test_stateful_match_equals_batch(spark, tmp_path, within):
     got_rows = _run_stream(spark, tmp_path, [EPOCH1, EPOCH2, EPOCH3], within_s=within)
     got = {r["k"]: (r["a_ts"], r["b_ts"], r["c_ts"]) for r in got_rows}
     assert got == want and len(got_rows) == len(got)
+
+
+def _write_epochs(spark, tmp_path, epochs):
+    src = tmp_path / "src"
+    for i, rows in enumerate(epochs):
+        d = src / f"epoch={i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+        for f in d.glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+
+def test_stateful_runs_closes_on_break_and_equals_batch(spark, tmp_path):
+    """A run extended across epochs emits once when its break arrives, and
+    the emitted set equals batch match_runs over the concatenated input
+    (every run in this fixture is followed by a break)."""
+    from arroyo_spark.operators import match_runs
+    from arroyo_spark.streaming.cep import stateful_match_runs
+
+    epochs = [
+        [("k1", _ts(0), 0, "A"), ("k1", _ts(1), 1, "A"), ("k2", _ts(0), 0, "A")],
+        [("k1", _ts(2), 2, "A"), ("k2", _ts(1), 1, "X")],  # k2's run closes
+        [("k1", _ts(3), 3, "X"), ("k1", _ts(4), 4, "A"), ("k1", _ts(5), 5, "X")],
+    ]
+    stream = _write_epochs(spark, tmp_path, epochs)
+    out = stateful_match_runs(
+        stream, key="k", cond=F.col("ev") == "A", tiebreakers=["i"], min_len=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_runs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["run_start_ts"], r["run_end_ts"], r["run_len"])
+        for r in spark.sql("SELECT * FROM cep_runs").collect()
+    }
+    # k1: [0,1,2] closed by the epoch-3 break; [4] filtered by min_len;
+    # k2: [0] filtered by min_len
+    assert got == {("k1", _ts(0).timestamp(), _ts(2).timestamp(), 3)}
+
+    all_rows = [r for ep in epochs for r in ep]
+    batch = match_runs(
+        spark.createDataFrame(all_rows, SCHEMA),
+        key="k",
+        cond=F.col("ev") == "A",
+        tiebreakers=["i"],
+        min_len=2,
+    ).collect()
+    want = {
+        (r["k"], r["run_start_ts"].timestamp(), r["run_end_ts"].timestamp(), r["run_len"])
+        for r in batch
+    }
+    assert got == want
+
+
+def test_stateful_runs_idle_timer_emits_open_run(spark, tmp_path):
+    """With idle_close_s: a run with no break emits via the event-time timer
+    once the watermark passes run_end + idle_close_s, and state drains."""
+    from arroyo_spark.streaming.cep import stateful_match_runs
+
+    epochs = [
+        [("k1", _ts(0), 0, "A"), ("k1", _ts(1), 1, "A")],  # open run, no break
+        [("x", _ts(30), 0, "X")],   # watermark -> 00:30 > 00:01 + 300s
+        [("x", _ts(31), 1, "X")],   # timer fires in this batch
+    ]
+    stream = _write_epochs(spark, tmp_path, epochs)
+    out = stateful_match_runs(
+        stream,
+        key="k",
+        cond=F.col("ev") == "A",
+        tiebreakers=["i"],
+        min_len=2,
+        watermark_delay="0 seconds",
+        idle_close_s=300.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_runs_idle")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["run_start_ts"], r["run_end_ts"], r["run_len"])
+        for r in spark.sql("SELECT * FROM cep_runs_idle").collect()
+    }
+    assert got == {("k1", _ts(0).timestamp(), _ts(1).timestamp(), 2)}
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 0
