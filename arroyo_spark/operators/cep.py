@@ -43,6 +43,15 @@ def _order_cols(ts_col: str, tiebreakers: Sequence[str]) -> list[Column]:
     return [F.col(ts_col)] + [F.col(c) for c in tiebreakers]
 
 
+def _check_unique_names(steps: Sequence[Step]) -> None:
+    names = [n for n, _ in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"step names must be unique (flag/output columns are keyed by "
+            f"name): {names}"
+        )
+
+
 def _partition(key: str, partition_by: Sequence[str] | None) -> list[str]:
     """Window partition columns: ``partition_by`` may name a column set
     that is partition-EQUIVALENT to ``key`` (e.g. the raw id a derived key
@@ -75,6 +84,7 @@ def match_sequence(
     """
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
+    _check_unique_names(steps)
     seen = (
         Window.partitionBy(*_partition(key, partition_by))
         .orderBy(*_order_cols(ts_col, tiebreakers))
@@ -96,10 +106,16 @@ def match_sequence(
         F.min(F.when(F.col(f"_m_{name}"), F.col(ts_col))).alias(f"{name}_ts")
         for name, _ in steps
     ]
-    res = out.groupBy(key).agg(*aggs)
+    # group by the partition columns too (superset): hash on the window's
+    # partition keys already satisfies this clustering, so the agg reuses
+    # the window's exchange instead of re-shuffling by the derived key
+    group_cols = list(dict.fromkeys([*_partition(key, partition_by), key]))
+    res = out.groupBy(*group_cols).agg(*aggs)
     # last step matching implies the whole chain matched (its condition
     # required a prior step-(K-1) match, recursively).
-    return res.filter(F.col(f"{steps[-1][0]}_ts").isNotNull())
+    return res.filter(F.col(f"{steps[-1][0]}_ts").isNotNull()).select(
+        key, *[f"{name}_ts" for name, _ in steps]
+    )
 
 
 def match_absence(
@@ -212,6 +228,7 @@ def match_adjacent(
     """
     if len(steps) < 2:
         raise ValueError("match_adjacent needs at least 2 steps")
+    _check_unique_names(steps)
     w = Window.partitionBy(*_partition(key, partition_by)).orderBy(
         *_order_cols(ts_col, tiebreakers)
     )

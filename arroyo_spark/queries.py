@@ -1120,14 +1120,11 @@ WITH s0 AS (
   SELECT *,
     min(CASE WHEN m_signup THEN ts END) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen0,
-    min(CASE WHEN m_signup THEN ts END) OVER (
-      PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS anchor0
   FROM s0
 ), s2 AS (
   SELECT *,
-    (event_type = 'click' AND seen0 IS NOT NULL
+    (event_type = 'click' AND anchor0 IS NOT NULL
        AND ts <= anchor0 + INTERVAL 30 DAY) AS m_click
   FROM s1
 ), s3 AS (

@@ -39,6 +39,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 Step = tuple[str, Column]
 
 
+def _key_field(df: DataFrame, key: str) -> T.StructField:
+    """Output key field with the SOURCE column's type — a bigint key must
+    not be silently declared string (Arrow would reject the first emission
+    at runtime)."""
+    return T.StructField(key, df.schema[key].dataType)
+
+
 def stateful_match_sequence(
     df: DataFrame,
     key: str,
@@ -59,10 +66,14 @@ def stateful_match_sequence(
     evicted on event-time timeouts:
 
     - **dead chains** (``within_s`` set, anchored, incomplete): evicted once
-      the watermark passes ``anchor + within_s``. EXACT — rows later than
-      the watermark can no longer satisfy the within check, and older rows
-      are dropped by the state operator, so the chain provably can never
-      complete.
+      the watermark passes ``anchor + within_s``. The evicted chain itself
+      provably can never complete (later rows cannot satisfy the within
+      check). Caveat: after eviction the key looks never-anchored again, so
+      a LATER step-0 row re-anchors it and can emit a match batch would
+      not (batch anchors at the global earliest step-0 row, which the
+      evicted chain held). Same trade as Flink CEP's state TTL: exact
+      suppression requires the dead anchor kept forever; eviction bounds
+      state and re-admits keys whose activity resumes past the horizon.
     - **never-anchored keys**: no state is written at all (re-created if a
       step-0 match arrives later). Exact.
     - **completed keys** (``evict_after_s`` set): the completion tombstone —
@@ -98,7 +109,7 @@ def stateful_match_sequence(
         + [T.StructField("emitted", T.BooleanType())]
     )
     out_schema = T.StructType(
-        [T.StructField(key, T.StringType())]
+        [_key_field(df, key)]
         + [T.StructField(f"{n}_ts", T.DoubleType()) for n in names]
     )
 
@@ -191,13 +202,20 @@ def stateful_match_absence(
 
     Two emission paths, one per failure shape:
 
-    - a too-late ``second`` arrives -> emitted in that micro-batch, with
-      its time in ``<second>_ts`` (same row the batch operator produces);
-    - no ``second`` ever arrives -> emitted by the event-time TIMER when
-      the watermark passes ``first + within_s``, with ``<second>_ts``
-      null. This is the alert-at-deadline behavior a monitoring pipeline
-      actually wants — the batch operator, which sees the whole history,
-      reports the same (key, first_ts) rows.
+    - a too-late ``second`` arrives BEFORE the deadline timer fires ->
+      emitted in that micro-batch, with its time in ``<second>_ts`` (the
+      row batch produces);
+    - the deadline timer fires first (watermark passes
+      ``first + within_s``) -> emitted then with ``<second>_ts`` null.
+      This is the alert-at-deadline behavior a monitoring pipeline
+      actually wants — an alert cannot wait for a B that may never come.
+
+    The emitted (key, first_ts) SET always equals the batch operator's;
+    the ``<second>_ts`` VALUE is null on the timer path even if a
+    too-late ``second`` arrives afterwards (the pending entry is already
+    emitted and dropped — batch, seeing the whole history, reports the
+    late time instead). Which path wins depends on timer/data
+    interleaving; only the null-vs-late-time column differs.
 
     State is the pending-``first`` list per key, evicted as resolved /
     emitted — bounded by ``within_s`` x arrival rate, not by history.
@@ -217,7 +235,7 @@ def stateful_match_absence(
     state_schema = T.StructType([T.StructField("pending", T.ArrayType(T.DoubleType()))])
     out_schema = T.StructType(
         [
-            T.StructField(key, T.StringType()),
+            _key_field(df, key),
             T.StructField(f"{fname}_ts", T.DoubleType()),
             T.StructField(f"{sname}_ts", T.DoubleType()),
         ]
@@ -318,7 +336,7 @@ def stateful_match_runs(
     )
     out_schema = T.StructType(
         [
-            T.StructField(key, T.StringType()),
+            _key_field(df, key),
             T.StructField("run_start_ts", T.DoubleType()),
             T.StructField("run_end_ts", T.DoubleType()),
             T.StructField("run_len", T.LongType()),

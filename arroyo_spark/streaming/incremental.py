@@ -102,6 +102,14 @@ def epoch_minhash_transform(
     corpus, because the committed store records the band rows of EVERY
     seen document, not only the keepers.
 
+    PRECONDITION for that batch equality: ids must be monotone with
+    arrival order (epoch-N ids < epoch-N+1 ids — the natural shape when
+    ids derive from stream offsets). "Earlier" means earlier-EPOCH here
+    but smaller-ID in ``batch_minhash_keep_set``; if an epoch can carry a
+    smaller id than an already-committed doc, the two rules keep
+    different members of that duplicate cluster (same cluster count,
+    different representative).
+
     Committed output per epoch: the epoch's band rows
     (id, band, band_key, kept) — the band store and the keep-set are the
     same table (keep-set = ``kept`` rows, one per doc per band; dedupe on

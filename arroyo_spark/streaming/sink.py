@@ -188,8 +188,6 @@ class ExactlyOnceSink:
             data_in = batch_df
             # mid-pipeline InvalidMessage capture (operators.map.run_task_safe
             # writes _invalid_reason; originals pass through untouched)
-            from arroyo_spark.operators.map import INVALID_REASON_COL
-
             captured = INVALID_REASON_COL in batch_df.columns
             valid_cond = self.valid
             reason: Column | str = self.reason
@@ -269,6 +267,14 @@ class ExactlyOnceSink:
         self._write_schema_once(out)
         try:
             vals = obs.get
+            if vals.get("n", 0) == 0:
+                # a zeroed observation is UNVERIFIABLE, not trustworthy: a
+                # transform that lazily localCheckpoints the observed scan
+                # without an intervening shuffle makes obs.get silently
+                # return all-zero metrics (reproduced on Spark 4.1) rather
+                # than raise. Re-measure; genuinely empty epochs make this
+                # a no-op-priced agg over zero rows.
+                raise ValueError("zeroed observation — re-measure")
         except Exception:  # noqa: BLE001 — see below
             # the optimizer can REMOVE the CollectMetrics node when the
             # transform folds to an empty relation (e.g. filter(lit(False))

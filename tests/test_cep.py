@@ -202,3 +202,38 @@ def test_match_runs_single_shuffle_plan(spark):
     df = match_runs(_frame(spark, rows), key="k", cond=F.col("ev") == "A", tiebreakers=["i"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_duplicate_step_names_rejected(spark):
+    rows = [("a", _ts(1), 0, "A")]
+    df = _frame(spark, rows)
+    import pytest as _pytest
+
+    for fn in (match_sequence, match_adjacent):
+        with _pytest.raises(ValueError, match="unique"):
+            fn(df, key="k", steps=[("x", F.col("ev") == "A"), ("x", F.col("ev") == "B")])
+
+
+def test_match_sequence_partition_by_single_exchange(spark):
+    """With partition_by, the final groupBy must include the partition
+    columns so it reuses the window's exchange — one exchange total."""
+    rows = [
+        ("a", _ts(1), 0, "A"),
+        ("a", _ts(2), 1, "B"),
+    ]
+    df = spark.createDataFrame(
+        [(k, k + "_raw", ts, i, ev) for k, ts, i, ev in rows],
+        "k string, raw string, ts timestamp, i int, ev string",
+    )
+    out = match_sequence(
+        df,
+        key="k",
+        steps=[("a", F.col("ev") == "A"), ("b", F.col("ev") == "B")],
+        tiebreakers=["i"],
+        partition_by=["raw"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    r = out.collect()
+    assert [(x["k"], x["a_ts"], x["b_ts"]) for x in r] == [("a", _ts(1), _ts(2))]
+    assert out.columns == ["k", "a_ts", "b_ts"]
