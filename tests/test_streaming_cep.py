@@ -303,3 +303,26 @@ def test_stateful_runs_idle_timer_emits_open_run(spark, tmp_path):
     }
     assert got == {("k1", _ts(0).timestamp(), _ts(1).timestamp(), 2)}
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 0
+
+
+def test_stateful_match_bigint_key(spark, tmp_path):
+    """Regression: the output key field carries the source column's type —
+    a bigint key must emit, not crash Arrow serialization."""
+    schema = "k bigint, ts timestamp, i int, ev string"
+    rows = [(7, _ts(1), 0, "A"), (7, _ts(2), 1, "B"), (7, _ts(3), 2, "C")]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "epoch=0"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out = stateful_match_sequence(stream, key="k", steps=STEPS(), tiebreakers=["i"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_bigint")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM cep_bigint").collect()
+    assert [(r["k"], r["c_ts"]) for r in got] == [(7, _ts(3).timestamp())]
+    assert dict(spark.sql("SELECT * FROM cep_bigint").dtypes)["k"] == "bigint"
