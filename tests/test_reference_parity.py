@@ -1,0 +1,295 @@
+"""Differential parity against the ACTUAL reference implementation.
+
+The north rule's correctness invariant is per-turn text equality under
+stable (conv_id, turn_idx) ordering against the reference output for the
+same input stream. ``tests/test_strategy_contract.py`` mirrors the
+reference's own unit-test expectations; this module is stronger: it
+imports the reference package from /root/reference (pure Python), drives
+its REAL FilterStep / RunTask / Reduce / Unfold strategy objects
+message-by-message over the same deterministic synthetic transcript
+stream our Spark operators process, and asserts the two engines produce
+equal rows — values, batch boundaries, and committed next-offsets.
+
+The reference's kafka backend imports confluent_kafka (absent in this
+container); the strategies themselves don't need it, so a minimal
+import-time stub satisfies the type imports
+(/root/reference/arroyo/processing/strategies/produce.py:6,
+/root/reference/arroyo/backends/kafka/consumer.py:28-39). No reference
+code is copied — it is EXECUTED, as the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from arroyo_spark.operators import count_reduce, filter_step, run_task, unfold
+from arroyo_spark.operators.map import run_task_pandas
+from arroyo_spark.synth import transcripts
+
+
+def _reference():
+    """Import the reference strategies with a confluent_kafka stub installed."""
+    import types
+
+    if "confluent_kafka" not in sys.modules:
+        stub = types.ModuleType("confluent_kafka")
+        for name in (
+            "Consumer", "KafkaError", "KafkaException", "Message", "Producer",
+            "TopicPartition",
+        ):
+            setattr(stub, name, type(name, (object,), {}))
+        for name in (
+            "OFFSET_BEGINNING", "OFFSET_END", "OFFSET_INVALID", "OFFSET_STORED",
+            "TIMESTAMP_NOT_AVAILABLE",
+        ):
+            setattr(stub, name, -1)
+        sys.modules["confluent_kafka"] = stub
+        admin = types.ModuleType("confluent_kafka.admin")
+        for name in ("AdminClient", "NewTopic"):
+            setattr(admin, name, type(name, (object,), {}))
+        sys.modules["confluent_kafka.admin"] = admin
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")  # append: never shadow arroyo_spark
+    import arroyo.processing.strategies as strategies
+    import arroyo.types as ref_types
+
+    return strategies, ref_types
+
+
+class Capture:
+    """Terminal strategy: records every submitted payload + committable."""
+
+    def __init__(self) -> None:
+        self.payloads = []
+        self.committables = []
+
+    def submit(self, message) -> None:
+        self.payloads.append(message.payload)
+        self.committables.append(dict(message.committable))
+
+    def poll(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def terminate(self) -> None:
+        pass
+
+    def join(self, timeout=None) -> None:
+        pass
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    """~400 deterministic turns with broker lineage, collected in delivery
+    order (partition-major, offset order within each partition)."""
+    df = (
+        transcripts(spark, n_convs=60, seed=7, partitions=4, median_turns=6)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "partition", "offset")
+        .cache()
+    )
+    rows = df.orderBy("partition", "offset").collect()
+    assert len(rows) > 200
+    yield df, rows
+    df.unpersist()
+
+
+def _drive(chain, ref_types, rows):
+    """Submit every row to the reference chain as a broker-shaped message
+    (committable carries the NEXT offset, the BrokerValue convention)."""
+    topic = ref_types.Topic("transcripts")
+    for r in rows:
+        chain.submit(
+            ref_types.Message(
+                ref_types.Value(
+                    r.asDict(),
+                    {ref_types.Partition(topic, r.partition): r.offset + 1},
+                    r.ts,
+                )
+            )
+        )
+    chain.poll()
+    chain.close()
+    chain.join()
+
+
+def test_per_turn_text_parity_filter_runtask(spark, turns):
+    """FilterStep -> RunTask in the reference vs filter_step -> run_task in
+    Spark: identical per-turn text under (conv_id, turn_idx) ordering."""
+    strategies, ref_types = _reference()
+    df, rows = turns
+
+    cap = Capture()
+    chain = strategies.FilterStep(
+        lambda m: m.payload["role"] != "system",
+        strategies.RunTask(
+            lambda m: {
+                **m.payload,
+                "text": m.payload["text"].upper() + " <" + m.payload["role"] + ">",
+            },
+            cap,
+        ),
+    )
+    _drive(chain, ref_types, rows)
+    ref_out = sorted((p["conv_id"], p["turn_idx"], p["text"]) for p in cap.payloads)
+
+    spark_out = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in run_task(
+            filter_step(df, F.col("role") != "system"),
+            text=F.concat(F.upper("text"), F.lit(" <"), F.col("role"), F.lit(">")),
+        )
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    assert len(spark_out) == len(ref_out) > 0
+    assert spark_out == ref_out
+
+
+def test_per_turn_text_parity_arrow_path(spark, turns):
+    """Reference RunTask (per-message Python fn — the contract
+    RunTaskWithMultiprocessing parallelizes) vs OUR Arrow-vectorized
+    run_task_pandas: vectorization must not change per-turn text."""
+    strategies, ref_types = _reference()
+    df, rows = turns
+
+    cap = Capture()
+    _drive(
+        strategies.RunTask(
+            lambda m: {**m.payload, "text": " ".join(m.payload["text"].split()[:5])},
+            cap,
+        ),
+        ref_types,
+        rows,
+    )
+    ref_out = sorted((p["conv_id"], p["turn_idx"], p["text"]) for p in cap.payloads)
+
+    def first5(pdf):
+        pdf = pdf.copy()
+        pdf["text"] = pdf["text"].str.split().str[:5].str.join(" ")
+        return pdf
+
+    spark_out = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in run_task_pandas(df, first5).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert spark_out == ref_out
+
+
+def test_reduce_count_flush_parity(spark, turns):
+    """Reference Reduce (count-based flush, join() force-flushes the tail)
+    vs count_reduce: identical batch contents, boundaries, and
+    committed next-offsets on the same single-partition stream."""
+    strategies, ref_types = _reference()
+    df, rows = turns
+    p0_rows = [r for r in rows if r.partition == 0]
+    batch = 7
+
+    cap = Capture()
+    _drive(
+        strategies.Reduce(
+            batch,
+            1e9,  # time flush disabled: count semantics only
+            lambda acc, v: acc + [(v.payload["offset"], v.payload["turn_idx"])],
+            list,
+            cap,
+        ),
+        ref_types,
+        p0_rows,
+    )
+    ref_batches = cap.payloads
+    part0 = ref_types.Partition(ref_types.Topic("transcripts"), 0)
+    ref_next = [c[part0] for c in cap.committables]
+
+    out = (
+        count_reduce(
+            df.filter(F.col("partition") == 0),
+            batch,
+            {"items": F.array_sort(F.collect_list(F.struct("offset", "turn_idx")))},
+        )
+        .orderBy("batch_id")
+        .collect()
+    )
+    spark_batches = [[(e["offset"], e["turn_idx"]) for e in r["items"]] for r in out]
+    spark_next = [r["next_offset"] for r in out]
+
+    assert len(p0_rows) % batch != 0, "pick sizes that exercise the partial tail"
+    assert spark_batches == ref_batches
+    assert spark_next == ref_next
+
+
+def test_reduce_weighted_flush_parity(spark, turns):
+    """compute_batch_size (weighted) reduce: the reference's weight
+    accumulator vs our Arrow-batched per-partition assignment — identical
+    boundaries when a message's weight closes the batch."""
+    strategies, ref_types = _reference()
+    df, rows = turns
+    p1_rows = [r for r in rows if r.partition == 1]
+    max_weight = 40  # words per flushed batch
+
+    def weight_of(payload) -> int:
+        return len(payload["text"].split())
+
+    cap = Capture()
+    _drive(
+        strategies.Reduce(
+            max_weight,
+            1e9,
+            lambda acc, v: acc + [v.payload["offset"]],
+            list,
+            cap,
+            compute_batch_size=lambda v: weight_of(v.payload),
+        ),
+        ref_types,
+        p1_rows,
+    )
+    ref_batches = cap.payloads
+
+    out = (
+        count_reduce(
+            df.filter(F.col("partition") == 1),
+            max_weight,
+            {"items": F.array_sort(F.collect_list("offset"))},
+            weight=F.size(F.split("text", " ")),
+        )
+        .orderBy("batch_id")
+        .collect()
+    )
+    spark_batches = [list(r["items"]) for r in out]
+    assert len(spark_batches) > 2
+    assert spark_batches == ref_batches
+
+
+def test_unfold_token_stream_parity(spark, turns):
+    """Reference Unfold over a python tokenizer vs our unfold(word_tokens):
+    same (conv_id, turn_idx, token) multiset."""
+    strategies, ref_types = _reference()
+    from arroyo_spark.functions import word_tokens
+
+    df, rows = turns
+
+    def tokens(payload):
+        return [
+            ref_types.Value((payload["conv_id"], payload["turn_idx"], t), {}, None)
+            for t in re.split(r"[^a-z0-9]+", payload["text"].lower())
+            if t != ""
+        ]
+
+    cap = Capture()
+    _drive(strategies.Unfold(lambda payload: tokens(payload), cap), ref_types, rows)
+    ref_counter = Counter(cap.payloads)
+
+    spark_counter = Counter(
+        (r.conv_id, r.turn_idx, r.tok)
+        for r in unfold(
+            df, word_tokens("text"), alias="tok", keep=["conv_id", "turn_idx"]
+        ).collect()
+    )
+    assert sum(ref_counter.values()) > 1000
+    assert spark_counter == ref_counter
