@@ -266,6 +266,82 @@ def test_reduce_weighted_flush_parity(spark, turns):
     assert spark_batches == ref_batches
 
 
+def test_batch_unbatch_commit_parity_with_ledger(spark, turns, tmp_path):
+    """Reference BatchStep -> UnbatchStep -> CommitOffsets vs our streaming
+    path (FileStreamSource -> ExactlyOnceSink): the reference's finally-
+    committed per-partition offsets equal our ledger's committed
+    next-offsets for the same stream, and the batch/unbatch roundtrip
+    preserves exactly the per-turn rows the sink commits."""
+    strategies, ref_types = _reference()
+    from arroyo_spark.streaming import (
+        ExactlyOnceSink,
+        FileStreamSource,
+        OffsetsLedger,
+        StreamProcessor,
+    )
+    from arroyo_spark.types import STREAM_SCHEMA
+
+    df, rows = turns
+
+    # reference: staged-commit capture (the consumer's Commit contract)
+    staged = {}
+
+    def commit(offsets, force=False):
+        staged.update(offsets)
+
+    roundtrip = Capture()
+
+    class Tee(Capture):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def submit(self, message):
+            super().submit(message)
+            self.inner.submit(message)
+
+        def join(self, timeout=None):
+            self.inner.join(timeout)
+
+    tee = Tee(strategies.CommitOffsets(commit))
+    chain = strategies.BatchStep(25, 1e9, strategies.UnbatchStep(tee))
+    _drive(chain, ref_types, rows)
+    ref_committed = {p.index: off for p, off in staged.items()}
+    ref_rows = sorted((p["conv_id"], p["turn_idx"], p["text"]) for p in tee.payloads)
+
+    # our engine: same rows through the streaming path (identity transform)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    slices = 3
+    hi = max(r.offset for r in rows)
+    step = hi // slices + 1
+    import glob
+    import shutil
+
+    for i in range(slices):
+        part = df.filter((F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step))
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"s{i}" / "part-*.parquet"))[0],
+            str(src_dir / f"{i:03d}.parquet"),
+        )
+    ledger = OffsetsLedger(str(tmp_path), "refparity")
+    sink = ExactlyOnceSink(output_dir=str(tmp_path / "out"), ledger=ledger)
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(str(src_dir), STREAM_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).run_until_complete()
+
+    assert ledger.committed_offsets() == ref_committed
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in sink.read_output(spark).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == ref_rows
+
+
 def test_unfold_token_stream_parity(spark, turns):
     """Reference Unfold over a python tokenizer vs our unfold(word_tokens):
     same (conv_id, turn_idx, token) multiset."""
