@@ -342,6 +342,69 @@ def test_batch_unbatch_commit_parity_with_ledger(spark, turns, tmp_path):
     assert got == ref_rows
 
 
+def test_fully_filtered_stream_commits_parity(spark, turns, tmp_path):
+    """The FilteredPayload sentinel contract, differentially: a reference
+    FilterStep that drops EVERY message (IMMEDIATE commit policy) still
+    advances offsets through CommitOffsets; our ledger advances through a
+    100%-filtered stream via epoch-range commits. Same final committed
+    offsets, zero output rows, both engines."""
+    strategies, ref_types = _reference()
+    from arroyo.commit import IMMEDIATE
+
+    from arroyo_spark.streaming import (
+        ExactlyOnceSink,
+        FileStreamSource,
+        OffsetsLedger,
+        StreamProcessor,
+    )
+    from arroyo_spark.types import STREAM_SCHEMA
+
+    df, rows = turns
+
+    staged = {}
+
+    def commit(offsets, force=False):
+        staged.update(offsets)
+
+    chain = strategies.FilterStep(
+        lambda m: False,
+        strategies.CommitOffsets(commit),
+        commit_policy=IMMEDIATE,
+    )
+    _drive(chain, ref_types, rows)
+    ref_committed = {p.index: off for p, off in staged.items()}
+    assert ref_committed, "sentinels must have advanced offsets"
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    import glob
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "all"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "all" / "part-*.parquet"))[0],
+        str(src_dir / "000.parquet"),
+    )
+    ledger = OffsetsLedger(str(tmp_path), "filtered")
+    # the filter lives in the sink transform: the sink computes offset
+    # lineage from the RAW batch, so a 100%-filtered epoch still commits
+    # its offset range — the engine's FilteredPayload-sentinel equivalent
+    sink = ExactlyOnceSink(
+        output_dir=str(tmp_path / "out"),
+        ledger=ledger,
+        transform=lambda d: d.filter(F.lit(False)),
+    )
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(str(src_dir), STREAM_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).run_until_complete()
+
+    assert ledger.committed_offsets() == ref_committed
+    assert sink.read_output(spark).count() == 0
+
+
 def test_unfold_token_stream_parity(spark, turns):
     """Reference Unfold over a python tokenizer vs our unfold(word_tokens):
     same (conv_id, turn_idx, token) multiset."""
