@@ -405,6 +405,131 @@ def test_fully_filtered_stream_commits_parity(spark, turns, tmp_path):
     assert sink.read_output(spark).count() == 0
 
 
+def test_reference_stream_processor_e2e_parity(spark, turns, tmp_path):
+    """Capstone differential: the reference's REAL StreamProcessor driving
+    its LocalBroker (in-memory storage) end-to-end — subscribe, assignment,
+    poll loop, strategy DAG, staged commits, shutdown flush — over the same
+    transcript stream our StreamProcessor+ExactlyOnceSink processes.
+    Asserts equal per-turn transformed text AND equal finally-committed
+    per-partition offsets (the north rule's row-set + offset invariants,
+    checked against the reference's own driver loop, not a mirror of it)."""
+    strategies, ref_types = _reference()
+    from arroyo.backends.local.backend import LocalBroker
+    from arroyo.backends.local.storages.memory import MemoryMessageStorage
+    from arroyo.commit import IMMEDIATE
+    from arroyo.processing.processor import StreamProcessor as RefStreamProcessor
+    from arroyo.processing.strategies.abstract import ProcessingStrategyFactory
+
+    from arroyo_spark.streaming import (
+        ExactlyOnceSink,
+        FileStreamSource,
+        OffsetsLedger,
+        StreamProcessor,
+    )
+    from arroyo_spark.types import STREAM_SCHEMA
+
+    df, rows = turns
+    topic = ref_types.Topic("transcripts")
+    n_parts = 4
+
+    storage = MemoryMessageStorage()
+    storage.create_topic(topic, n_parts)
+    broker = LocalBroker(storage)
+    # produce in per-partition offset order so broker offsets == synth offsets
+    for r in rows:
+        bv = broker.produce(ref_types.Partition(topic, r.partition), r.asDict())
+        assert bv.offset == r.offset
+
+    class Forward(Capture):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def submit(self, message):
+            super().submit(message)
+            self.inner.submit(message)
+
+        def poll(self):
+            self.inner.poll()
+
+        def close(self):
+            self.inner.close()
+
+        def join(self, timeout=None):
+            self.inner.join(timeout)
+
+    committed = {}
+    captured = []
+
+    class Factory(ProcessingStrategyFactory):
+        def create_with_partitions(self, commit, partitions):
+            def recording_commit(offsets, force=False):
+                committed.update(offsets)
+                return commit(offsets, force=force)
+
+            cap = Forward(strategies.CommitOffsets(recording_commit))
+            captured.append(cap)
+            return strategies.FilterStep(
+                lambda m: m.payload["role"] != "system",
+                strategies.RunTask(
+                    lambda m: {
+                        **m.payload,
+                        "text": m.payload["text"].upper() + " <" + m.payload["role"] + ">",
+                    },
+                    cap,
+                ),
+            )
+
+    consumer = broker.get_consumer("parity-group")
+    processor = RefStreamProcessor(consumer, topic, Factory(), IMMEDIATE)
+    for _ in range(len(rows) + 20):
+        processor._run_once()
+    processor._shutdown()
+
+    ref_committed = {p.index: off for p, off in committed.items()}
+    ref_rows = sorted(
+        (p["conv_id"], p["turn_idx"], p["text"])
+        for cap in captured
+        for p in cap.payloads
+        if isinstance(p, dict)  # skip FilteredPayload sentinels
+    )
+    assert len(ref_rows) > 200
+    assert set(ref_committed) == set(range(n_parts))
+
+    # our engine: same stream, same transform, through the streaming path
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    import glob
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "all"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "all" / "part-*.parquet"))[0],
+        str(src_dir / "000.parquet"),
+    )
+    ledger = OffsetsLedger(str(tmp_path), "e2e")
+    sink = ExactlyOnceSink(
+        output_dir=str(tmp_path / "out"),
+        ledger=ledger,
+        transform=lambda d: d.filter(F.col("role") != "system").withColumn(
+            "text", F.concat(F.upper("text"), F.lit(" <"), F.col("role"), F.lit(">"))
+        ),
+    )
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(str(src_dir), STREAM_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).run_until_complete()
+
+    assert ledger.committed_offsets() == ref_committed
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in sink.read_output(spark).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == ref_rows
+
+
 def test_unfold_token_stream_parity(spark, turns):
     """Reference Unfold over a python tokenizer vs our unfold(word_tokens):
     same (conv_id, turn_idx, token) multiset."""
