@@ -530,6 +530,149 @@ def test_reference_stream_processor_e2e_parity(spark, turns, tmp_path):
     assert got == ref_rows
 
 
+def test_dlq_routing_parity(spark, turns, tmp_path):
+    """DLQ differential: the reference processor's InvalidMessage ->
+    BufferedMessages -> DlqProducer path vs our run_task_safe poison-row
+    capture -> sink DLQ split. Same poisoned turns (turn_idx % 23 == 5):
+    identical DLQ'd (partition, offset, ORIGINAL payload) sets, identical
+    committed offsets (invalid offsets still commit), and identical
+    surviving transformed rows."""
+    strategies, ref_types = _reference()
+    from arroyo.backends.local.backend import LocalBroker
+    from arroyo.backends.local.storages.memory import MemoryMessageStorage
+    from arroyo.commit import IMMEDIATE
+    from arroyo.dlq import DlqPolicy, InvalidMessage, NoopDlqProducer
+    from arroyo.processing.processor import StreamProcessor as RefStreamProcessor
+    from arroyo.processing.strategies.abstract import ProcessingStrategyFactory
+
+    from arroyo_spark.operators.map import run_task_safe
+    from arroyo_spark.streaming import (
+        ExactlyOnceSink,
+        FileStreamSource,
+        OffsetsLedger,
+        StreamProcessor,
+    )
+    from arroyo_spark.types import STREAM_SCHEMA
+
+    df, rows = turns
+    topic = ref_types.Topic("transcripts")
+    storage = MemoryMessageStorage()
+    storage.create_topic(topic, 4)
+    broker = LocalBroker(storage)
+    for r in rows:
+        broker.produce(ref_types.Partition(topic, r.partition), r.asDict())
+
+    dlqd = []
+
+    class CaptureDlq(NoopDlqProducer):
+        def produce(self, value, reason=None):
+            dlqd.append((value.partition.index, value.offset, value.payload["text"]))
+            return super().produce(value, reason)
+
+    committed = {}
+    captured = []
+
+    class Factory(ProcessingStrategyFactory):
+        def create_with_partitions(self, commit, partitions):
+            def recording_commit(offsets, force=False):
+                committed.update(offsets)
+                return commit(offsets, force=force)
+
+            def fn(m):
+                if m.payload["turn_idx"] % 23 == 5:
+                    raise InvalidMessage(
+                        m.value.partition, m.value.offset, reason="poison"
+                    )
+                return {**m.payload, "text": m.payload["text"].upper()}
+
+            cap = Capture()
+            captured.append(cap)
+            return strategies.RunTask(
+                fn, _Fan(cap, strategies.CommitOffsets(recording_commit))
+            )
+
+    class _Fan(Capture):
+        """forward to capture AND commit."""
+
+        def __init__(self, cap, inner):
+            super().__init__()
+            self.cap = cap
+            self.inner = inner
+
+        def submit(self, message):
+            self.cap.submit(message)
+            self.inner.submit(message)
+
+        def poll(self):
+            self.inner.poll()
+
+        def close(self):
+            self.inner.close()
+
+        def join(self, timeout=None):
+            self.inner.join(timeout)
+
+    consumer = broker.get_consumer("dlq-parity")
+    processor = RefStreamProcessor(
+        consumer, topic, Factory(), IMMEDIATE, DlqPolicy(producer=CaptureDlq())
+    )
+    for _ in range(len(rows) + 20):
+        processor._run_once()
+    processor._shutdown()
+
+    ref_committed = {p.index: off for p, off in committed.items()}
+    ref_dlq = sorted(dlqd)
+    ref_ok = sorted(
+        (p["conv_id"], p["turn_idx"], p["text"])
+        for c in captured
+        for p in c.payloads
+        if isinstance(p, dict)
+    )
+    assert len(ref_dlq) > 5
+    assert ref_ok
+
+    # our engine: poison capture in the pipeline, DLQ split in the sink
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    import glob
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "all"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "all" / "part-*.parquet"))[0],
+        str(src_dir / "000.parquet"),
+    )
+
+    def poison_fn(pdf):
+        import pandas as pd
+
+        if (pdf["turn_idx"] % 23 == 5).any():
+            raise ValueError("poison")
+        return pd.DataFrame({"text_up": pdf["text"].str.upper()})
+
+    ledger = OffsetsLedger(str(tmp_path), "dlqparity")
+    sink = ExactlyOnceSink(output_dir=str(tmp_path / "out"), ledger=ledger)
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(str(src_dir), STREAM_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pipeline=lambda d: run_task_safe(d, poison_fn, {"text_up": "string"}),
+    ).run_until_complete()
+
+    assert ledger.committed_offsets() == ref_committed
+    got_dlq = sorted(
+        (r.original_partition, r.original_offset, r.payload)
+        for r in sink.read_dlq(spark).collect()
+    )
+    assert got_dlq == ref_dlq
+    got_ok = sorted(
+        (r.conv_id, r.turn_idx, r.text_up)
+        for r in sink.read_output(spark).select("conv_id", "turn_idx", "text_up").collect()
+    )
+    assert got_ok == ref_ok
+
+
 def test_unfold_token_stream_parity(spark, turns):
     """Reference Unfold over a python tokenizer vs our unfold(word_tokens):
     same (conv_id, turn_idx, token) multiset."""
