@@ -673,6 +673,84 @@ def test_dlq_routing_parity(spark, turns, tmp_path):
     assert got_ok == ref_ok
 
 
+def test_produce_topic_roundtrip_parity(spark, turns, tmp_path):
+    """Produce differential: reference RunTask -> Produce(LocalProducer) ->
+    CommitOffsets lands transformed payloads on a broker topic; our
+    PipeTopic sink commits them as readable epochs. Same transform, same
+    stream: identical topic contents and committed offsets."""
+    strategies, ref_types = _reference()
+    from arroyo.backends.local.backend import LocalBroker
+    from arroyo.backends.local.storages.memory import MemoryMessageStorage
+
+    from arroyo_spark.streaming import FileStreamSource, OffsetsLedger, StreamProcessor
+    from arroyo_spark.streaming.produce import PipeTopic
+    from arroyo_spark.types import STREAM_SCHEMA
+
+    df, rows = turns
+    in_topic = ref_types.Topic("in")
+    out_topic = ref_types.Topic("out")
+    storage = MemoryMessageStorage()
+    storage.create_topic(in_topic, 4)
+    storage.create_topic(out_topic, 1)  # single partition: deterministic read-back
+    broker = LocalBroker(storage)
+
+    committed = {}
+
+    def commit(offsets, force=False):
+        committed.update(offsets)
+
+    chain = strategies.RunTask(
+        lambda m: {**m.payload, "text": m.payload["text"].lower().strip()},
+        strategies.Produce(
+            broker.get_producer(), out_topic, strategies.CommitOffsets(commit)
+        ),
+    )
+    _drive(chain, ref_types, rows)
+    ref_produced = []
+    off = 0
+    part0 = ref_types.Partition(out_topic, 0)
+    while True:
+        bv = storage.consume(part0, off)
+        if bv is None:
+            break
+        ref_produced.append((bv.payload["conv_id"], bv.payload["turn_idx"], bv.payload["text"]))
+        off += 1
+    ref_produced.sort()
+    assert len(ref_produced) == len(rows)
+
+    # our engine: same transform through a PipeTopic sink, read back from
+    # the topic the way a downstream consumer would
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    import glob
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "all"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "all" / "part-*.parquet"))[0],
+        str(src_dir / "000.parquet"),
+    )
+    topic = PipeTopic(str(tmp_path / "topics"), "t1")
+    sink = topic.sink(
+        transform=lambda d: d.withColumn("text", F.lower(F.trim("text")))
+    )
+    StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(str(src_dir), STREAM_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).run_until_complete()
+
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in sink.read_output(spark).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == ref_produced
+    assert sink.ledger.committed_offsets() == {
+        p.index: o for p, o in committed.items()
+    }
+
+
 def test_unfold_token_stream_parity(spark, turns):
     """Reference Unfold over a python tokenizer vs our unfold(word_tokens):
     same (conv_id, turn_idx, token) multiset."""
