@@ -20,12 +20,19 @@ code is copied — it is EXECUTED, as the oracle.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from collections import Counter
 
 import pytest
 from pyspark.sql import functions as F
+
+if not os.path.isdir("/root/reference/arroyo"):
+    pytest.skip(
+        "reference checkout not present — differential oracle unavailable",
+        allow_module_level=True,
+    )
 
 from arroyo_spark.operators import count_reduce, filter_step, run_task, unfold
 from arroyo_spark.operators.map import run_task_pandas
