@@ -17,10 +17,14 @@ orphan dir is invisible to ``read_output`` and the replay regenerates it.
 Scale notes (10^12 rows): the per-epoch work shuffles 64-bit fingerprints
 (plus the epoch's own rows), never the historical documents — the store
 anti-join reads ONLY the ``fingerprint`` column off the committed parquet
-(column pruning). At very high epoch counts the store side should be
-compacted into a bucketed-by-fingerprint table so the anti-join co-locates
-without reshuffling history every epoch; the epoch-dir layout here is the
-sandbox stand-in for that Iceberg-bucketed store.
+(column pruning). The store itself is COMPACTED every ``compact_every``
+epochs (sink.compact(): previous compaction + tail rewritten into one dir
+hash-partitioned by the join key, ledger-recorded, inputs pruned), so the
+per-epoch store read touches O(1 + tail) dirs instead of O(committed
+epochs) — without it, epoch N pays a listing/planning cost linear in all
+N-1 prior epochs. At 10^12 rows the compacted dir is an Iceberg table
+bucketed by fingerprint/band; ``repartition(n, keys)`` is the sandbox
+analog with the same join-side clustering effect.
 
 Keep rule: FIRST ARRIVAL WINS — within an epoch the lowest ``id_col``
 (deterministic under replay), across epochs the earliest committed epoch.
@@ -69,11 +73,22 @@ def incremental_dedup_sink(
     ledger: OffsetsLedger,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 16,
     **sink_kwargs,
 ) -> ExactlyOnceSink:
     """ExactlyOnceSink whose committed output is the deduplicated corpus:
-    every committed row is the first-ever arrival of its fingerprint."""
-    sink = ExactlyOnceSink(output_dir=output_dir, ledger=ledger, **sink_kwargs)
+    every committed row is the first-ever arrival of its fingerprint.
+
+    ``compact_every`` (default 16) bounds the store read at O(1 + tail)
+    dirs by periodically rewriting it hash-partitioned by fingerprint —
+    the anti-join key (see module docstring / sink.compact())."""
+    sink = ExactlyOnceSink(
+        output_dir=output_dir,
+        ledger=ledger,
+        compact_every=compact_every,
+        compact_keys=("fingerprint",),
+        **sink_kwargs,
+    )
     sink.transform = epoch_dedup_transform(sink, id_col, text_col)
     return sink
 
@@ -161,12 +176,22 @@ def incremental_minhash_sink(
     n_perm: int = 16,
     band_size: int = 4,
     shingle_n: int = 3,
+    compact_every: int | None = 16,
     **sink_kwargs,
 ) -> ExactlyOnceSink:
     """ExactlyOnceSink committing per-epoch LSH band rows with a ``kept``
     flag; keep-set = first-arrival docs with no band collision against
-    anything seen before (see ``epoch_minhash_transform``)."""
-    sink = ExactlyOnceSink(output_dir=output_dir, ledger=ledger, **sink_kwargs)
+    anything seen before (see ``epoch_minhash_transform``).
+
+    ``compact_every`` (default 16) keeps the band-store read at O(1 +
+    tail) dirs, hash-partitioned by the (band, band_key) semi-join key."""
+    sink = ExactlyOnceSink(
+        output_dir=output_dir,
+        ledger=ledger,
+        compact_every=compact_every,
+        compact_keys=("band", "band_key"),
+        **sink_kwargs,
+    )
     sink.transform = epoch_minhash_transform(
         sink, id_col, text_col, n_perm, band_size, shingle_n
     )

@@ -36,12 +36,24 @@ class OffsetsLedger:
 
     def __post_init__(self) -> None:
         os.makedirs(self._dir(), exist_ok=True)
+        # in-memory entry cache (single-writer contract — the driver owns
+        # the ledger; a restart constructs a fresh object and re-scans).
+        # Without it every entries() call re-reads EVERY epoch json: the
+        # per-epoch transform that consults read_output() would pay
+        # O(committed epochs) driver FS reads per epoch, O(N^2) per run —
+        # a measured chunk of the fixed per-epoch driver cost that caps
+        # scaling efficiency (BENCH/epoch_fixed_cost_r4.json).
+        self._entries_cache: list[dict] | None = None
+        self._compactions_cache: list[dict] | None = None
 
     def _dir(self) -> str:
         return os.path.join(self.root, "ledger", self.job_id)
 
     def _path(self, epoch_id: int) -> str:
         return os.path.join(self._dir(), f"epoch-{epoch_id:012d}.json")
+
+    def _cpath(self, upto_epoch: int) -> str:
+        return os.path.join(self._dir(), f"compaction-{upto_epoch:012d}.json")
 
     def is_committed(self, epoch_id: int) -> bool:
         return os.path.exists(self._path(epoch_id))
@@ -60,20 +72,58 @@ class OffsetsLedger:
             "committed_at": time.time(),
             "metrics": metrics or {},
         }
-        tmp = self._path(epoch_id) + ".tmp"
+        self._write_atomic(self._path(epoch_id), entry)
+        if self._entries_cache is not None:
+            self._entries_cache = [
+                e for e in self._entries_cache if e["epoch_id"] != epoch_id
+            ] + [entry]
+
+    def _write_atomic(self, path: str, entry: dict) -> None:
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(entry, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, self._path(epoch_id))
+        os.rename(tmp, path)
 
-    def entries(self) -> list[dict]:
+    def _load(self, prefix: str) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self._dir())):
-            if name.endswith(".json"):
+            if name.startswith(prefix) and name.endswith(".json"):
                 with open(os.path.join(self._dir(), name)) as f:
                     out.append(json.load(f))
         return out
+
+    def entries(self) -> list[dict]:
+        if self._entries_cache is None:
+            self._entries_cache = self._load("epoch-")
+        return list(self._entries_cache)
+
+    # -- compaction records (store-maintenance commits) -------------------
+    def record_compaction(self, upto_epoch: int, n_epochs: int, path: str) -> None:
+        """Atomically record that every committed epoch <= upto_epoch has
+        been rewritten into ``path``. Same rename primitive as commit();
+        readers prefer the newest record. Re-recording the same upto_epoch
+        (compaction replay after a crash) is an idempotent overwrite."""
+        entry = {
+            "job_id": self.job_id,
+            "upto_epoch": upto_epoch,
+            "n_epochs": n_epochs,
+            "path": path,
+            "committed_at": time.time(),
+        }
+        self._write_atomic(self._cpath(upto_epoch), entry)
+        if self._compactions_cache is not None:
+            self._compactions_cache = [
+                c for c in self._compactions_cache if c["upto_epoch"] != upto_epoch
+            ] + [entry]
+
+    def latest_compaction(self) -> dict | None:
+        if self._compactions_cache is None:
+            self._compactions_cache = self._load("compaction-")
+        if not self._compactions_cache:
+            return None
+        return max(self._compactions_cache, key=lambda c: c["upto_epoch"])
 
     def committed_offsets(self) -> dict[int, int]:
         """Max next-offset per partition across all committed epochs."""

@@ -17,6 +17,7 @@ arroyo.consumer.processing.time.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -50,6 +51,13 @@ class ExactlyOnceSink:
     # retries instead of failing the epoch (see streaming/retries.py;
     # reference: arroyo/utils/retries.py)
     write_retry: "object | None" = None
+    # store compaction (epoch-over-store sinks, e.g. incremental dedup):
+    # every `compact_every` committed epochs the per-epoch dirs are
+    # rewritten into ONE dir hash-partitioned by `compact_keys`, recorded
+    # in the ledger, and the covered epoch dirs pruned — read_output then
+    # touches O(1 + tail) dirs instead of O(committed epochs). None = off.
+    compact_every: int | None = None
+    compact_keys: "tuple[str, ...] | None" = None
     _dlq_state: DlqLimitState | None = field(default=None, repr=False)
     _policy_state: object = field(default=None, repr=False)
     n_policy_commits: int = field(default=0, repr=False)
@@ -148,6 +156,7 @@ class ExactlyOnceSink:
             # configuration stays on the two-pass path: its limit check
             # must fail-stop BEFORE anything is written.
             self._commit_fast(batch_df, epoch_id, t0, has_lineage)
+            self._maybe_compact(batch_df.sparkSession)
             return
         batch_df = batch_df.persist()
         try:
@@ -214,6 +223,7 @@ class ExactlyOnceSink:
             self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
             self._write_schema_once(out)
             self._finalize(epoch_id, t0, n_total, n_invalid, max_ts, next_offsets, has_lineage)
+            self._maybe_compact(batch_df.sparkSession)
         finally:
             batch_df.unpersist()
 
@@ -256,11 +266,18 @@ class ExactlyOnceSink:
                 aggs.append(
                     F.max(F.when(F.col("partition") == p, F.col("offset"))).alias(f"no_{p}")
                 )
-            aggs.append(
-                F.count(
-                    F.when(~F.col("partition").isin(known) if known else F.lit(True), 1)
-                ).alias("unknown_n")
+            # NULL partitions must land in unknown_n, not vanish: a bare
+            # ~isin(known) is NULL (not true) for NULL partitions, so such
+            # rows would be counted by neither branch and their offsets
+            # silently dropped from next_offsets (ADVICE r4). Coalesce the
+            # predicate; the fresh-partition pass below then rejects NULLs
+            # explicitly (lineage batches contract: partition is non-null).
+            unknown_pred = (
+                F.col("partition").isNull() | ~F.col("partition").isin(known)
+                if known
+                else F.lit(True)
             )
+            aggs.append(F.count(F.when(unknown_pred, 1)).alias("unknown_n"))
         observed = batch_df.observe(obs, *aggs)
         out = self.transform(observed) if self.transform is not None else observed
         self._retry(lambda: out.write.mode("overwrite").parquet(self.data_dir(epoch_id)))
@@ -296,12 +313,19 @@ class ExactlyOnceSink:
                 # pinned to this epoch's offsets, deterministic)
                 fresh = batch_df
                 if known:
-                    fresh = fresh.filter(~F.col("partition").isin(known))
+                    fresh = fresh.filter(
+                        F.col("partition").isNull() | ~F.col("partition").isin(known)
+                    )
                 for r in (
                     fresh.groupBy("partition")
                     .agg((F.max("offset") + 1).alias("no"), F.max("ts").alias("mts"))
                     .collect()
                 ):
+                    if r["partition"] is None:
+                        raise ValueError(
+                            "lineage batch contains NULL partition — offsets "
+                            "cannot be tracked; fix the source or drop lineage"
+                        )
                     next_offsets[r["partition"]] = r["no"]
                     if r["mts"] is not None:
                         max_ts = max(max_ts, r["mts"]) if max_ts else r["mts"]
@@ -339,22 +363,135 @@ class ExactlyOnceSink:
                 max_ts.timetuple()
             )
         synthetic_next = self._synthetic_next
+        will_commit = False
+        policy_offsets = next_offsets
+        policy_now = None
         if self._policy_state is not None:
-            now = self.clock()
-            policy_offsets = next_offsets
+            policy_now = self.clock()
             if not has_lineage:
                 # lineage-less stream: advance a synthetic partition by
                 # n_total so messages-based policies still see deltas
                 synthetic_next = self._synthetic_next + n_total
                 policy_offsets = {-1: synthetic_next}
-            if self._policy_state.should_commit(now, policy_offsets):
-                self._policy_state.did_commit(now, policy_offsets)
-                self.n_policy_commits += 1
-            metrics["arroyo.consumer.commit.count"] = float(self.n_policy_commits)
+            will_commit = self._policy_state.should_commit(policy_now, policy_offsets)
+            metrics["arroyo.consumer.commit.count"] = float(
+                self.n_policy_commits + (1 if will_commit else 0)
+            )
         self._retry(lambda: self.ledger.commit(epoch_id, next_offsets, metrics))
+        # policy state (like the synthetic counter) advances only AFTER the
+        # ledger commit succeeds: a failed epoch replays, and an
+        # already-recorded did_commit would double-count it (ADVICE r4)
+        if self._policy_state is not None and will_commit:
+            self._policy_state.did_commit(policy_now, policy_offsets)
+            self.n_policy_commits += 1
         self._synthetic_next = synthetic_next
 
+    # -- store compaction --------------------------------------------------
+    def compact_dir(self, upto_epoch: int) -> str:
+        return f"{self.output_dir}/compact/upto={upto_epoch}"
+
+    def _maybe_compact(self, spark) -> None:
+        if not self.compact_every:
+            return
+        comp = self.ledger.latest_compaction()
+        covered = comp["upto_epoch"] if comp else None
+        tail = [e for e in self.ledger.epochs() if covered is None or e > covered]
+        if len(tail) >= self.compact_every:
+            self.compact(spark)
+
+    def compact(
+        self, spark, num_buckets: int | None = None, prune: bool = True
+    ) -> int | None:
+        """Rewrite (previous compaction + tail epoch dirs) into ONE dir
+        hash-partitioned by ``compact_keys``, then record it in the ledger
+        and prune the covered inputs.
+
+        This is the O(committed-epochs)→O(1 + tail) fix for epoch-over-
+        store sinks (incremental dedup reads its own committed history
+        every epoch — without compaction each epoch pays a listing/planning
+        cost linear in ALL prior epochs). At 10^12 rows the compacted dir
+        is an Iceberg table bucketed by the join key; ``repartition(n,
+        keys)`` is the sandbox analog — the per-epoch anti/semi join's
+        store side arrives pre-hash-clustered either way.
+
+        Crash matrix (same primitive as the epoch commit — atomic marker
+        after idempotent overwrite):
+          crash mid-write      -> no ledger record; readers keep using the
+                                  previous compaction + epoch dirs (pruning
+                                  only happens after the record lands);
+                                  re-running compact() overwrites.
+          crash before prune   -> record exists, readers already prefer the
+                                  new dir; stale inputs are ignored and the
+                                  next compact()/prune removes them.
+        """
+        epochs = self.ledger.epochs()
+        if not epochs:
+            return None
+        comp = self.ledger.latest_compaction()
+        covered = comp["upto_epoch"] if comp else None
+        tail = [e for e in epochs if covered is None or e > covered]
+        if not tail:
+            return covered
+        upto = max(tail)
+        parts = []
+        if comp is not None:
+            parts.append(spark.read.parquet(comp["path"]))
+        tail_dirs = [d for d in (self.data_dir(e) for e in tail) if os.path.exists(d)]
+        if tail_dirs:
+            parts.append(
+                spark.read.option("basePath", f"{self.output_dir}/data").parquet(*tail_dirs)
+            )
+        if not parts:
+            return covered
+        store = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        if self.compact_keys:
+            n = num_buckets or spark.sparkContext.defaultParallelism
+            store = store.repartition(n, *[F.col(k) for k in self.compact_keys])
+        target = self.compact_dir(upto)
+        self._retry(lambda: store.write.mode("overwrite").parquet(target))
+        self._retry(
+            lambda: self.ledger.record_compaction(upto, len(epochs), target)
+        )
+        if prune:
+            self._prune_compacted(upto, comp)
+        return upto
+
+    def _prune_compacted(self, upto: int, prev_comp: dict | None) -> None:
+        """Remove inputs now covered by compact_dir(upto): epoch data dirs
+        <= upto and EVERY superseded compaction dir (not just the
+        immediately-previous one — a crash between record and prune in an
+        earlier cycle may have stranded older ones). Best-effort — a
+        leftover dir is invisible to readers (they go through the ledger
+        record) and gets swept by the next cycle."""
+        import shutil
+
+        for e in self.ledger.epochs():
+            if e <= upto:
+                d = self.data_dir(e)
+                if os.path.exists(d):
+                    shutil.rmtree(d, ignore_errors=True)
+        croot = f"{self.output_dir}/compact"
+        keep = os.path.basename(self.compact_dir(upto))
+        if os.path.isdir(croot):
+            for name in os.listdir(croot):
+                if name != keep:
+                    shutil.rmtree(os.path.join(croot, name), ignore_errors=True)
+
     # -- reading back ----------------------------------------------------
+    def output_paths(self) -> list[str]:
+        """The concrete dirs a read_output() scan touches — latest
+        compaction (if any) + committed epoch dirs past it. The compaction
+        test asserts len == O(1 + tail), not O(committed epochs)."""
+        comp = self.ledger.latest_compaction()
+        covered = comp["upto_epoch"] if comp is not None else None
+        dirs = [comp["path"]] if comp is not None else []
+        for e in self.ledger.epochs():
+            if covered is None or e > covered:
+                d = self.data_dir(e)
+                if os.path.exists(d):
+                    dirs.append(d)
+        return dirs
+
     def read_output(self, spark) -> DataFrame:
         """All committed output rows (uncommitted epoch dirs are excluded).
 
@@ -362,14 +499,31 @@ class ExactlyOnceSink:
         default) — every group key is emitted exactly once across epochs.
         Update-mode aggregations re-emit live keys each epoch; unioning
         epoch dirs would then return stale duplicates.
-        """
-        import os
 
-        dirs = [self.data_dir(e) for e in self.ledger.epochs()]
-        dirs = [d for d in dirs if os.path.exists(d)]
-        if not dirs:
+        With compaction enabled the scan is the compacted store + the
+        uncompacted tail — O(1 + tail) dirs, not O(committed epochs).
+        """
+        comp = self.ledger.latest_compaction()
+        covered = comp["upto_epoch"] if comp is not None else None
+        dirs = [
+            d
+            for d in (
+                self.data_dir(e)
+                for e in self.ledger.epochs()
+                if covered is None or e > covered
+            )
+            if os.path.exists(d)
+        ]
+        parts = []
+        if comp is not None:
+            parts.append(spark.read.parquet(comp["path"]))
+        if dirs:
+            parts.append(
+                spark.read.option("basePath", f"{self.output_dir}/data").parquet(*dirs)
+            )
+        if not parts:
             raise FileNotFoundError(f"no committed epochs under {self.output_dir}")
-        return spark.read.option("basePath", f"{self.output_dir}/data").parquet(*dirs)
+        return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
     def read_dlq(self, spark) -> DataFrame:
         import os
