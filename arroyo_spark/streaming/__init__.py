@@ -15,10 +15,12 @@ from arroyo_spark.streaming.sink import ExactlyOnceSink  # noqa: F401
 from arroyo_spark.streaming.processor import FileStreamSource, StreamProcessor  # noqa: F401
 from arroyo_spark.streaming.sources import (  # noqa: F401
     StreamSource,
+    build_kafka_consumer_options,
     file_source,
     iceberg_source,
     kafka_source,
     rate_source,
+    validate_kafka_options,
 )
 from arroyo_spark.streaming.produce import (  # noqa: F401
     PipeTopic,

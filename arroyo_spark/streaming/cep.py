@@ -88,6 +88,20 @@ def stateful_match_sequence(
         raise ValueError("stateful_match_sequence needs at least 2 steps")
     if evict_after_s is not None and watermark_delay is None:
         raise ValueError("evict_after_s requires watermark_delay")
+    if watermark_delay is not None and within_s is None and evict_after_s is None:
+        # watermark_delay alone bounds NOTHING: dead-chain eviction needs a
+        # within_s horizon and tombstone eviction needs evict_after_s —
+        # with neither, anchored-incomplete state still grows O(keys)
+        # forever and the knob would silently read as "bounded" (ADVICE r4)
+        import warnings
+
+        warnings.warn(
+            "watermark_delay without within_s/evict_after_s registers no "
+            "event-time timeouts — anchored-incomplete state remains "
+            "unbounded; set within_s (dead-chain eviction) and/or "
+            "evict_after_s (tombstone eviction) to bound state",
+            stacklevel=2,
+        )
     k_steps = len(steps)
     names = [n for n, _ in steps]
     use_timeouts = watermark_delay is not None

@@ -89,6 +89,180 @@ def rate_source(rows_per_second: int = 1000, num_partitions: int = 8) -> StreamS
     )
 
 
+# -- Kafka option validation (the reference's configuration seam) -----------
+#
+# Mirrors /root/reference/arroyo/backends/kafka/configuration.py:23-212
+# (build_kafka_configuration / build_kafka_consumer_configuration): options
+# are validated and defaulted at CONSTRUCTION time, so a typo'd or
+# engine-owned config fails fast with a pointed message instead of being
+# silently ignored by the connector at runtime. The Spark analog differs in
+# WHAT is validated — Spark's Kafka source owns commit/deserialization, so
+# the librdkafka configs the reference force-sets (enable.auto.commit=False,
+# configuration.py:196-198) become *forbidden* pass-throughs here.
+
+# Spark structured-streaming Kafka source options (spelling per the
+# spark-sql-kafka connector docs) -> value shape.
+_KAFKA_SOURCE_OPTION_SHAPES: dict[str, str] = {
+    "kafka.bootstrap.servers": "str",
+    "subscribe": "str",
+    "subscribepattern": "str",
+    "assign": "str",
+    "startingoffsets": "offsets",
+    "startingoffsetsbytimestamp": "str",
+    "startingtimestamp": "int",
+    "maxoffsetspertrigger": "posint",
+    "minoffsetspertrigger": "posint",
+    "maxtriggerdelay": "duration",
+    "minpartitions": "posint",
+    "failondataloss": "bool",
+    "includeheaders": "bool",
+    "groupidprefix": "str",
+    "kafkaconsumer.polltimeoutms": "posint",
+    "fetchoffset.numretries": "posint",
+    "fetchoffset.retryintervalms": "posint",
+}
+
+# kafka.* passthroughs the engine owns (reference: configuration.py:196-206
+# forces enable.auto.commit/enable.auto.offset.store off because arroyo's
+# commit policy owns offsets; Spark's connector likewise rejects these).
+_FORBIDDEN_KAFKA_PASSTHROUGH: dict[str, str] = {
+    "kafka.auto.offset.reset": "use startingOffsets (engine-owned)",
+    "kafka.enable.auto.commit": (
+        "the exactly-once sink's ledger owns commits "
+        "(reference configuration.py:196: enable.auto.commit=False)"
+    ),
+    "kafka.enable.auto.offset.store": "ledger-owned (configuration.py:197)",
+    "kafka.key.deserializer": "the source reads binary; decode via the codec seam",
+    "kafka.value.deserializer": "the source reads binary; decode via the codec seam",
+    "kafka.interceptor.classes": "not supported by the Spark Kafka source",
+}
+
+_SUBSCRIPTION_MODES = ("subscribe", "subscribepattern", "assign")
+
+
+def validate_kafka_options(options: dict[str, str]) -> dict[str, str]:
+    """Validate + normalize Kafka source options; raises ValueError early.
+
+    Checks (construction-time, no broker needed — same stance as the
+    reference's build_kafka_consumer_configuration):
+    - exactly one subscription mode (subscribe / subscribePattern / assign)
+    - kafka.bootstrap.servers present and non-empty
+    - known non-``kafka.``-prefixed options only (typo guard), with
+      per-option shape checks (ints positive, bools boolean, offsets one of
+      earliest/latest/{json})
+    - engine-owned kafka.* configs rejected with the replacement named
+
+    Returns the options dict with every value stringified.
+    """
+    out: dict[str, str] = {}
+    lower_seen: set[str] = set()
+    for k, v in options.items():
+        lk = k.lower()
+        sv = str(v)
+        if lk.startswith("kafka."):
+            if lk in _FORBIDDEN_KAFKA_PASSTHROUGH:
+                raise ValueError(
+                    f"kafka option {k!r} is engine-owned: "
+                    f"{_FORBIDDEN_KAFKA_PASSTHROUGH[lk]}"
+                )
+            # other kafka.* configs pass through to the client unchecked
+            # (same as the reference's override_params update,
+            # configuration.py:40-41)
+            out[k] = sv
+            lower_seen.add(lk)
+            continue
+        shape = _KAFKA_SOURCE_OPTION_SHAPES.get(lk)
+        if shape is None:
+            import difflib
+
+            hint = difflib.get_close_matches(lk, _KAFKA_SOURCE_OPTION_SHAPES, n=1)
+            raise ValueError(
+                f"unknown Kafka source option {k!r}"
+                + (f" — did you mean {hint[0]!r}?" if hint else "")
+            )
+        if shape in ("posint", "int"):
+            try:
+                iv = int(sv)
+            except ValueError:
+                raise ValueError(f"option {k!r} must be an integer, got {sv!r}") from None
+            if shape == "posint" and iv <= 0:
+                raise ValueError(f"option {k!r} must be > 0, got {iv}")
+        elif shape == "bool":
+            if sv.lower() not in ("true", "false"):
+                raise ValueError(f"option {k!r} must be true/false, got {sv!r}")
+        elif shape == "offsets":
+            if sv not in ("earliest", "latest") and not sv.lstrip().startswith("{"):
+                raise ValueError(
+                    f"option {k!r} must be earliest, latest, or a "
+                    f"per-partition JSON object, got {sv!r}"
+                )
+        out[k] = sv
+        lower_seen.add(lk)
+    modes = [m for m in _SUBSCRIPTION_MODES if m in lower_seen]
+    if len(modes) != 1:
+        raise ValueError(
+            "exactly one of subscribe / subscribePattern / assign is "
+            f"required, got {modes or 'none'}"
+        )
+    if not out.get("kafka.bootstrap.servers"):
+        raise ValueError("kafka.bootstrap.servers is required and non-empty")
+    return out
+
+
+def build_kafka_consumer_options(
+    bootstrap_servers: str | list[str],
+    topic: str,
+    group_id: str | None = None,
+    auto_offset_reset: str = "earliest",
+    strict_offset_reset: bool | None = None,
+    max_offsets_per_trigger: int | None = None,
+    queued_max_messages_kbytes: int | None = None,
+    override_params: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The reference's consumer-config builder, re-expressed for the Spark
+    connector (configuration.py:168-212 contract):
+
+    - ``auto_offset_reset`` (default ``earliest``, same default as
+      configuration.py:180-181) -> ``startingOffsets``
+    - ``strict_offset_reset`` (arroyo flag: error on reset-out-of-range)
+      -> ``failOnDataLoss`` — True means a lost offset fails the query
+    - ``group_id`` -> ``kafka.group.id`` (Spark manages its own group
+      otherwise via ``groupIdPrefix``)
+    - ``queued_max_messages_kbytes`` (librdkafka prefetch bound,
+      DEFAULT_QUEUED_MAX_MESSAGE_KBYTES=50000 at configuration.py:17) ->
+      ``kafka.fetch.max.bytes`` for the JVM client; the companion
+      queued.min.messages knob has no byte-equivalent — per-trigger
+      admission (``max_offsets_per_trigger``) is the Spark-native bound
+    - ``override_params`` update LAST, then the whole dict is validated
+    """
+    servers = (
+        ",".join(bootstrap_servers)
+        if isinstance(bootstrap_servers, (list, tuple))
+        else bootstrap_servers
+    )
+    if auto_offset_reset not in ("earliest", "latest"):
+        raise ValueError(
+            f"auto_offset_reset must be earliest or latest, got {auto_offset_reset!r}"
+        )
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": auto_offset_reset,
+    }
+    if group_id is not None:
+        opts["kafka.group.id"] = group_id
+    if strict_offset_reset is not None:
+        opts["failOnDataLoss"] = "true" if strict_offset_reset else "false"
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if queued_max_messages_kbytes is None:
+        queued_max_messages_kbytes = 50000  # reference default, configuration.py:17
+    opts["kafka.fetch.max.bytes"] = str(queued_max_messages_kbytes * 1024)
+    if override_params:
+        opts.update({k: str(v) for k, v in override_params.items()})
+    return validate_kafka_options(opts)
+
+
 def kafka_source(
     bootstrap_servers: str,
     topic: str,
@@ -116,6 +290,7 @@ def kafka_source(
     }
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts = validate_kafka_options(opts)
 
     def decode(df: DataFrame) -> DataFrame:
         from arroyo_spark.streaming.codecs import JSON
