@@ -656,10 +656,12 @@ def q_text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram Shannon entropy (perplexity proxy, VERDICT r4 #8).
     Identical left-to-right fold over sorted distinct grams in both
     engines; 9-decimal round absorbs JVM-vs-libm ln() ulps."""
-    from arroyo_spark.functions.text import char_ngram_entropy
+    from arroyo_spark.functions.text import char_ngram_entropy_arrow
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", char_ngram_entropy("text", 2).alias("bigram_entropy"))
+    return d.select(
+        "doc_id", char_ngram_entropy_arrow("text", 2).alias("bigram_entropy")
+    )
 
 
 @query(

@@ -23,6 +23,33 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~0.5M turns w/ skew
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))  # best-of-N per query
 
+# -- self-certifying quietness gate (VERDICT r4 #1) --------------------------
+# This VM shares a host: BENCH_r04 showed 4-10x phantom regressions on
+# unchanged queries because the driver ran the bench in a contended window.
+# The job is memory-bandwidth-bound, so the gate is tools/mem_ladder.py
+# aggregate GB/s with ABSOLUTE floors (ratio gates mis-fire — see
+# BENCH/BASELINE.md), probed BEFORE and AFTER the timed section (a pre-gate
+# alone cannot certify the window; two r4 probes degraded mid-run). If the
+# window fails, the whole bench re-runs (bounded attempts), and the emitted
+# JSON always carries the probe readings + a quiet flag so the artifact is
+# self-certifying either way.
+GATE_FLOORS = {"2": 28.0, "8": 95.0}  # GB/s aggregate at 2 / 8 procs
+GATE_ATTEMPTS = int(os.environ.get("BENCH_GATE_ATTEMPTS", "4"))
+GATE_ENABLED = os.environ.get("BENCH_GATE", "1") != "0"
+GATE_RETRY_SLEEP = float(os.environ.get("BENCH_GATE_SLEEP", "60"))
+
+
+def gate_probe() -> dict[str, float]:
+    from tools.mem_ladder import probe
+
+    return probe(procs=tuple(int(k) for k in GATE_FLOORS))
+
+
+def gate_ok(reading: dict[str, float] | None) -> bool:
+    return reading is not None and all(
+        reading.get(k, 0.0) >= v for k, v in GATE_FLOORS.items()
+    )
+
 
 def materialize(df) -> int:
     """Force FULL computation of every output column, return the row count.
@@ -107,16 +134,43 @@ def run_flagship_pipeline(spark) -> tuple[float, int]:
     return elapsed, n_turns
 
 
-def main() -> None:
-    from arroyo_spark.session import get_spark
-
-    spark = get_spark(app_name="arroyo_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
-    warmup(spark)
+def _timed_section(spark) -> tuple[dict[str, float], float, float, int]:
     t_start = time.time()
     timings = run_queries(spark)
     flagship_sec, n_turns = run_flagship_pipeline(spark)
     timings["flagship_pipeline"] = round(flagship_sec, 3)
     total = round(time.time() - t_start, 3)
+    return timings, total, flagship_sec, n_turns
+
+
+def main() -> None:
+    from arroyo_spark.session import get_spark
+
+    spark = get_spark(app_name="arroyo_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+    warmup(spark)
+
+    result = None
+    for attempt in range(max(GATE_ATTEMPTS, 1)):
+        last = attempt == max(GATE_ATTEMPTS, 1) - 1
+        pre = gate_probe() if GATE_ENABLED else None
+        if GATE_ENABLED and not gate_ok(pre) and not last:
+            print(f"bench gate: contended pre-probe {pre}; retrying", file=sys.stderr)
+            time.sleep(GATE_RETRY_SLEEP)
+            continue
+        timings, total, flagship_sec, n_turns = _timed_section(spark)
+        post = gate_probe() if GATE_ENABLED else None
+        quiet = gate_ok(pre) and gate_ok(post)
+        result = (timings, total, flagship_sec, n_turns, pre, post, quiet)
+        if quiet or not GATE_ENABLED:
+            break
+        if not last:
+            print(
+                f"bench gate: window failed post-probe (pre={pre} post={post}); re-running",
+                file=sys.stderr,
+            )
+            time.sleep(GATE_RETRY_SLEEP)
+    timings, total, flagship_sec, n_turns, pre, post, quiet = result
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -129,6 +183,17 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / flagship_sec, 1),
                 "flagship_turns": n_turns,
                 "cpus": CPUS,
+                # self-certification: mem-bandwidth readings around the
+                # timed section + the absolute floors they must clear.
+                # quiet=false means every retry window was contended —
+                # treat the timings as an upper bound, not a regression.
+                "gate": {
+                    "enabled": GATE_ENABLED,
+                    "pre_gbps": pre,
+                    "post_gbps": post,
+                    "floors_gbps": GATE_FLOORS,
+                    "quiet": bool(quiet) if GATE_ENABLED else None,
+                },
                 # methodology label (r3 lesson: an action change silently
                 # invalidated cross-round comparisons). checksum-v1 = every
                 # query materialized via agg(count, bit_xor(xxhash64(*cols)))

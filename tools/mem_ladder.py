@@ -88,6 +88,14 @@ def run_level(procs: int, mb: int, reps: int) -> float:
     raise RuntimeError(f"mem_ladder: level {procs} failed 3 attempts")
 
 
+def probe(procs: tuple[int, ...] = (2, 8), mb: int = 256, reps: int = 8) -> dict[str, float]:
+    """Callable probe API (bench.py's pre/post quietness gate): aggregate
+    GB/s per process count, best of 2 runs per level."""
+    return {
+        str(p): round(max(run_level(p, mb, reps) for _ in range(2)), 2) for p in procs
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", default="4,16")

@@ -105,11 +105,43 @@ def main() -> int:
         r["window_ladder_abs"] = {str(lo): round(lad[lo], 1), str(hi): round(lad[hi], 1)}
         r["t_wall"] = time.time()
         results.append(r)
+        print(f"local[{level}]: {r['turns_per_sec']} turns/s", file=sys.stderr)
+
+    # POST-gate (r4 lesson: a pre-probe cannot certify a 20-40-min window —
+    # two r4 probes passed pre and degraded mid-run). Re-probe AFTER the
+    # runs; a pair is fully certified only when BOTH probes clear the
+    # floors. Entries always carry both readings — contended windows are
+    # evidence too, just labeled.
+    if args.probe == "mem":
+        post = {p_: max(mem_level(p_, 128, 8) for _ in range(2)) for p_ in (lo, hi)}
+    else:
+        post = {p_: max(alu_level(p_, 12_000_000)[0] for _ in range(2)) for p_ in (lo, hi)}
+    post_quiet = (
+        post[hi] / post[lo] >= args.min_ratio
+        and post[lo] >= args.min_abs_lo
+        and post[hi] >= args.min_abs_hi
+    )
+    print(
+        f"post-{args.probe}-ladder: abs {post[lo]:.4g} / {post[hi]:.4g} {unit} "
+        f"(post_quiet={post_quiet})",
+        file=sys.stderr,
+    )
+    for r in results:
+        r["post_ladder_abs"] = {str(lo): round(post[lo], 1), str(hi): round(post[hi], 1)}
+        r["post_quiet"] = post_quiet
         with open(args.pool, "a") as f:
             f.write(json.dumps(r) + "\n")
-        print(f"local[{level}]: {r['turns_per_sec']} turns/s", file=sys.stderr)
-    print(json.dumps({"quiet": True, "ladder_ratio": round(ratio, 2), "runs": results}))
-    return 0
+    print(
+        json.dumps(
+            {
+                "quiet": True,
+                "post_quiet": post_quiet,
+                "ladder_ratio": round(ratio, 2),
+                "runs": results,
+            }
+        )
+    )
+    return 0 if post_quiet else 4
 
 
 if __name__ == "__main__":
