@@ -56,6 +56,16 @@ def main() -> None:
         if "=" in kv:
             k, v = kv.split("=", 1)
             extra_conf[k.strip()] = v.strip()
+    # SCALING_FAIR=1: FAIR scheduler with one pool per streaming query.
+    # Under the default FIFO scheduler the two concurrent queries' stages
+    # queue behind each other (measured: join b1 triggerExecution 51.6s vs
+    # addBatch 7.2s while agg b1 held all cores — BENCH/BASELINE.md); FAIR
+    # pools interleave their tasks so the join's state-store I/O waits
+    # overlap the agg's compute. This is the documented deployment shape
+    # for multiple streaming queries sharing one cluster.
+    fair = os.environ.get("SCALING_FAIR", "0") == "1"
+    if fair:
+        extra_conf["spark.scheduler.mode"] = "FAIR"
     spark = get_spark(
         f"scaling_{args.cores}",
         cores=args.cores,
@@ -123,7 +133,16 @@ def main() -> None:
         query_name="join",
     )
 
-    q1, q2 = proc1.start(), proc2.start()
+    if fair:
+        # each query gets its own pool: with spark.scheduler.mode=FAIR the
+        # root schedules pools fair-share, so neither query's stages starve
+        # behind the other's. The local property is inherited by the
+        # query's MicroBatchExecution thread at start().
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "agg")
+    q1 = proc1.start()
+    if fair:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "join")
+    q2 = proc2.start()
     q1.awaitTermination()
     t_stage1 = time.time() - t0
     q2.awaitTermination()
@@ -135,6 +154,7 @@ def main() -> None:
         json.dumps(
             {
                 "cores": args.cores,
+                "fair": fair,
                 "elapsed_s": round(elapsed, 2),
                 "agg_drained_s": round(t_stage1, 2),
                 "join_drained_s": round(elapsed, 2),
