@@ -112,6 +112,7 @@ def main() -> None:
         pipeline=lambda df: flagship_stream_pipeline(df, watermark="10 minutes"),
         output_mode="append",
         query_name="agg",
+        scheduler_pool="agg" if fair else None,
     )
 
     # query 2: stateful turn<->tool-call stream-stream join, exactly-once sink
@@ -131,17 +132,14 @@ def main() -> None:
         checkpoint_dir=f"{work}/join/ckpt",
         output_mode="append",
         query_name="join",
+        scheduler_pool="join" if fair else None,
     )
 
-    if fair:
-        # each query gets its own pool: with spark.scheduler.mode=FAIR the
-        # root schedules pools fair-share, so neither query's stages starve
-        # behind the other's. The local property is inherited by the
-        # query's MicroBatchExecution thread at start().
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "agg")
+    # pool-per-query FAIR scheduling is now a StreamProcessor feature
+    # (scheduler_pool=...); with spark.scheduler.mode=FAIR the root
+    # schedules pools fair-share, so neither query's stages starve
+    # behind the other's.
     q1 = proc1.start()
-    if fair:
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "join")
     q2 = proc2.start()
     q1.awaitTermination()
     t_stage1 = time.time() - t0
