@@ -215,6 +215,59 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor area downsample — the 'resize' stage of a multimodal
+    ingest pipeline (decode -> block-average -> re-encode), Arrow-batched.
+
+    Each media payload (PPM or BMP, via ``decode_image``) is decoded to an
+    (h, w, 3) array, reduced by ``factor x factor`` block FLOOR-averaged
+    pooling, and re-encoded as PPM. Floor averaging keeps every output
+    byte integer-exact, so downstream pixel statistics are SQL-oracle
+    checkable end to end (see the ``multimodal_resize`` driver query).
+
+    Output schema matches ``attach_fake_images`` (doc_id, media,
+    media_format, n_bytes), so decode/feature/frame ops compose after it.
+    At scale this is the canonical Arrow path: bytes cross to Python once
+    per partition batch, never per row; partition parallelism is the
+    scan's. Swap ``decode_image`` + the numpy pool for PIL/libjpeg on a
+    real cluster — batch shape and schema are unchanged.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    out_schema = "doc_id long, media binary, media_format string, n_bytes int"
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image(bytes(media)).astype("uint32")
+                h, w = img.shape[:2]
+                if h % factor or w % factor:
+                    raise ValueError(
+                        f"image {h}x{w} not divisible by factor {factor}"
+                    )
+                oh, ow = h // factor, w // factor
+                pooled = (
+                    img.reshape(oh, factor, ow, factor, 3).sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype("uint8")
+                out = _ppm_header(ow, oh) + pooled.tobytes()
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media": out,
+                        "media_format": "image/x-portable-pixmap",
+                        "n_bytes": len(out),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     """'Frame sampling' over the opaque payload: one row per sampled chunk.
 

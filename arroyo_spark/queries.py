@@ -1216,6 +1216,50 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+WITH h AS (
+  SELECT doc_id,
+         md5(concat('px0#', text)) || md5(concat('px1#', text)) ||
+         md5(concat('px2#', text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, i, ('0x' || substring(hx, 2 * i + 1, 2))::int AS byte,
+         (i // 3) // 4 AS y, (i // 3) % 4 AS x, i % 3 AS c
+  FROM h CROSS JOIN (SELECT unnest(range(48)) AS i)
+), r AS (
+  -- 2x2 block floor-average: the resized byte is exactly sum // 4
+  SELECT doc_id, y // 2 AS yy, x // 2 AS xx, c, sum(byte) // 4 AS rb
+  FROM b GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       cast(2 AS int) AS width,
+       cast(2 AS int) AS height,
+       cast(sum(CASE WHEN c = 0 THEN rb END) AS double) / 4 AS mean_r,
+       cast(sum(CASE WHEN c = 1 THEN rb END) AS double) / 4 AS mean_g,
+       cast(sum(CASE WHEN c = 2 THEN rb END) AS double) / 4 AS mean_b
+FROM r GROUP BY 1
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END resize (the brief's decode/feature/resize/frame-sample
+    verb set, completed): JVM-assembled PPM containers -> Arrow-batched
+    decode + 2x2 floor-average pooling + PPM re-encode
+    (operators/multimodal.py::resize_images) -> second decode pass for
+    per-channel means of the RESIZED pixels. Floor averaging keeps every
+    byte integer-exact, so the oracle recomputes the pooled bytes in SQL
+    and the means match bit-exactly."""
+    from arroyo_spark.operators.multimodal import (
+        attach_fake_images,
+        decode_features,
+        resize_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(resize_images(attach_fake_images(d, fmt="ppm"), factor=2))
+
+
+@query(
     "sketch_rollup_exact",
     """
 WITH r AS (

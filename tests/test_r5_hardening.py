@@ -463,3 +463,47 @@ def test_scheduler_pool_set_at_start_and_restored(spark, tmp_path):
         sc.setLocalProperty("spark.scheduler.pool", None)
 
     assert sink.read_output(spark).count() == 3
+
+
+def test_resize_images_floor_average_and_cross_container(spark):
+    """resize_images: 2x2 floor-average pooling, PPM re-encode, exact bytes.
+
+    - known 4x4 image (bytes 0..47): every pooled byte checked by hand
+    - BMP input -> PPM output: the kernel resizes the DECODED image, so a
+      BMP and a PPM carrying the same logical pixels pool identically
+    """
+    import numpy as np
+
+    from arroyo_spark.operators.multimodal import (
+        attach_fake_images,
+        decode_image,
+        resize_images,
+    )
+
+    # hand-built PPM: pixel bytes 0..47 (row-major RGB)
+    header = b"P6\n4 4\n255\n"
+    media = header + bytes(range(48))
+    df = spark.createDataFrame(
+        [(7, media, "image/x-portable-pixmap", len(media))],
+        "doc_id long, media binary, media_format string, n_bytes int",
+    )
+    out = resize_images(df, factor=2).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 7
+    got = decode_image(bytes(out[0]["media"]))
+    src = np.arange(48, dtype=np.uint32).reshape(4, 4, 3)
+    want = (src.reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) // 4).astype("uint8")
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, want)
+    # spot-check one value by hand: out(0,0,R) = floor((0+3+12+15)/4) = 7
+    assert got[0, 0, 0] == 7
+
+    # cross-container: BMP in, PPM out — pooled pixels equal the numpy pool
+    # of the decoded BMP (bottom-up BGR undone by the decoder first)
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    bmp_media = bytes(attach_fake_images(docs, fmt="bmp").collect()[0]["media"])
+    pooled = decode_image(
+        bytes(resize_images(attach_fake_images(docs, fmt="bmp")).collect()[0]["media"])
+    )
+    ref = decode_image(bmp_media).astype("uint32")
+    want2 = (ref.reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) // 4).astype("uint8")
+    assert np.array_equal(pooled, want2)
