@@ -1260,6 +1260,35 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_framesample",
+    """
+SELECT doc_id,
+       cast(i AS int) AS frame_idx,
+       md5(concat(cast(i AS varchar), '#', text)) AS frame_hex,
+       cast(16 AS int) AS frame_len
+FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
+""",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (the brief's 4th multimodal verb) driver-gated: the
+    opaque 64-byte payload is chunked into 16-byte 'frames' JVM-side
+    (explode(sequence) + substring — zero Python in the hot path), and
+    each frame's bytes round-trip bit-exactly: frame i of
+    attach_fake_media IS the md5 digest of 'i#'+text, so the oracle
+    recomputes the hex directly."""
+    from arroyo_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    f = sample_frames(attach_fake_media(d), every_n_bytes=16)
+    return f.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
+@query(
     "sketch_rollup_exact",
     """
 WITH r AS (
