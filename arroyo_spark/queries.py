@@ -1260,6 +1260,40 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_features",
+    """
+WITH h AS (
+  SELECT doc_id,
+         md5(concat('au0#', text)) || md5(concat('au1#', text)) ||
+         md5(concat('au2#', text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, ('0x' || substring(hx, 2 * i + 1, 2))::int AS byte
+  FROM h CROSS JOIN (SELECT unnest(range(48)) AS i)
+)
+SELECT doc_id,
+       cast(8000 AS int) AS sample_rate,
+       cast(count(*) AS int) AS n_samples,
+       cast(sum(byte) AS double) / 48 AS mean_amp,
+       cast(max(byte) AS int) AS peak,
+       cast(min(byte) AS int) AS trough,
+       cast(sum(CASE WHEN byte > 192 THEN 1 ELSE 0 END) AS int) AS n_loud
+FROM b GROUP BY 1
+""",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode (second real modality beside PPM/BMP
+    images): valid RIFF/WAVE containers (8-bit mono PCM) are assembled
+    JVM-side, the pure-struct/numpy WAV chunk walker decodes them inside
+    an Arrow-batched kernel, and the amplitude stats come out bit-exact
+    against the SQL oracle (integer sums < 2^53, exact double division)."""
+    from arroyo_spark.operators.multimodal import attach_fake_audio, audio_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_fake_audio(d))
+
+
+@query(
     "multimodal_framesample",
     """
 SELECT doc_id,

@@ -507,3 +507,59 @@ def test_resize_images_floor_average_and_cross_container(spark):
     ref = decode_image(bmp_media).astype("uint32")
     want2 = (ref.reshape(2, 2, 2, 2, 3).sum(axis=(1, 3)) // 4).astype("uint8")
     assert np.array_equal(pooled, want2)
+
+
+def test_wav_audio_decode_end_to_end(spark):
+    """Second real modality: RIFF/WAVE 8-bit mono PCM assembled JVM-side,
+    decoded by the pure-struct chunk walker, stats bit-exact."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from arroyo_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_features,
+        decode_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    wav = {r["doc_id"]: bytes(r["media"]) for r in attach_fake_audio(df).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        want = b"".join(
+            hashlib.md5(f"au{i}#{text}".encode()).digest() for i in range(3)
+        )
+        rate, ch, bits, s = decode_audio(wav[doc_id])
+        assert (rate, ch, bits) == (8000, 1, 8)
+        assert s.tobytes() == want
+
+    # chunk walker: survives an unknown odd-sized chunk before data
+    # (word alignment) and rejects non-PCM formats loudly
+    pcm = bytes(range(48))
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    hdr = wav[1][:12]  # RIFF....WAVE
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    data_chunk = b"data" + struct.pack("<I", 48) + pcm
+    rate2, _, _, s2 = decode_audio(hdr + fmt_chunk + extra + data_chunk)
+    assert rate2 == 8000 and s2.tobytes() == pcm
+    bad_fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8)
+    try:
+        decode_audio(hdr + bad_fmt + data_chunk)
+        raise AssertionError("stereo should be rejected")
+    except ValueError:
+        pass
+
+    # amplitude stats flow through the Arrow kernel end-to-end
+    feats = {r["doc_id"]: r for r in audio_features(attach_fake_audio(df)).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        samples = np.frombuffer(
+            b"".join(hashlib.md5(f"au{i}#{text}".encode()).digest() for i in range(3)),
+            dtype=np.uint8,
+        )
+        r = feats[doc_id]
+        assert r["n_samples"] == 48 and r["sample_rate"] == 8000
+        assert r["mean_amp"] == float(int(samples.sum())) / 48
+        assert r["peak"] == int(samples.max()) and r["trough"] == int(samples.min())
+        assert r["n_loud"] == int((samples > 192).sum())
