@@ -1323,6 +1323,54 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_features",
+    """
+WITH p AS (
+  SELECT doc_id, text, f.f, pl.pl,
+         md5(concat('v', f.f, 'p', pl.pl, '#', text)) AS hx
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(3)) AS f) f
+  CROSS JOIN (SELECT unnest(range(3)) AS pl) pl
+), b AS (
+  SELECT doc_id, f, pl, i.i,
+         ('0x' || substring(hx, 2 * i.i + 1, 2))::int AS byte
+  FROM p CROSS JOIN (SELECT unnest(range(16)) AS i) i
+), stats AS (
+  SELECT doc_id, f,
+         cast(sum(CASE WHEN pl = 0 THEN byte END) AS double) / 16 AS y_mean,
+         cast(max(CASE WHEN pl = 0 THEN byte END) AS int) AS y_peak,
+         cast(sum(CASE WHEN pl = 1 THEN byte END) AS double) / 16 AS u_mean,
+         cast(sum(CASE WHEN pl = 2 THEN byte END) AS double) / 16 AS v_mean
+  FROM b GROUP BY 1, 2
+), motion AS (
+  SELECT cur.doc_id, cur.f,
+         cast(sum(abs(cur.byte - prv.byte)) AS double) / 16 AS y_motion
+  FROM b cur
+  JOIN b prv ON cur.doc_id = prv.doc_id AND cur.pl = 0 AND prv.pl = 0
+            AND prv.f = cur.f - 1 AND cur.i = prv.i
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, cast(s.f AS int) AS frame_idx,
+       s.y_mean, s.y_peak, s.u_mean, s.v_mean,
+       coalesce(m.y_motion, 0.0) AS y_motion
+FROM stats s
+LEFT JOIN motion m ON s.doc_id = m.doc_id AND s.f = m.f
+""",
+)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video decode (third real modality beside PPM/BMP images
+    and WAV audio): valid YUV4MPEG2 streams (3 frames of 4x4 C444 planar
+    YUV) are assembled JVM-side, the pure-numpy Y4M walker decodes them in
+    an Arrow-batched kernel, and per-frame plane stats PLUS the temporal
+    ``y_motion`` (mean |Y_f - Y_{f-1}|) come out bit-exact against the SQL
+    oracle, which recomputes every plane byte from the md5 construction."""
+    from arroyo_spark.operators.multimodal import attach_fake_video, video_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return video_features(attach_fake_video(d))
+
+
+@query(
     "sketch_rollup_exact",
     """
 WITH r AS (

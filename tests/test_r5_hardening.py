@@ -563,3 +563,78 @@ def test_wav_audio_decode_end_to_end(spark):
         assert r["mean_amp"] == float(int(samples.sum())) / 48
         assert r["peak"] == int(samples.max()) and r["trough"] == int(samples.min())
         assert r["n_loud"] == int((samples > 192).sum())
+
+
+def test_y4m_video_decode_end_to_end(spark):
+    """Third real modality: YUV4MPEG2 streams (3x 4x4 C444 frames)
+    assembled JVM-side, decoded by the pure-numpy Y4M walker, per-frame
+    stats + temporal motion bit-exact."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from arroyo_spark.operators.multimodal import (
+        attach_fake_video,
+        decode_video,
+        video_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    vids = {r["doc_id"]: bytes(r["media"]) for r in attach_fake_video(df).collect()}
+
+    def planes(text):
+        # frame f, plane p -> the md5 digest of 'v{f}p{p}#'+text, as 4x4
+        return np.stack(
+            [
+                np.stack(
+                    [
+                        np.frombuffer(
+                            hashlib.md5(f"v{f}p{p}#{text}".encode()).digest(),
+                            dtype=np.uint8,
+                        ).reshape(4, 4)
+                        for p in range(3)
+                    ]
+                )
+                for f in range(3)
+            ]
+        )
+
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        w, h, fps, frames = decode_video(vids[doc_id])
+        assert (w, h, fps) == (4, 4, (25, 1))
+        assert np.array_equal(frames, planes(text))
+
+    # walker robustness: frame params after FRAME are skipped; C420
+    # (the Y4M default) and non-Y4M bytes are rejected loudly
+    hdr = b"YUV4MPEG2 W2 H2 F30:1 C444\n"
+    fr = bytes(range(12))
+    w2, h2, fps2, fs2 = decode_video(hdr + b"FRAME Ixyz\n" + fr + b"FRAME\n" + fr)
+    assert (w2, h2, fps2, fs2.shape) == (2, 2, (30, 1), (2, 3, 2, 2))
+    with pytest.raises(ValueError, match="C444"):
+        decode_video(b"YUV4MPEG2 W2 H2 F30:1\n" + b"FRAME\n" + fr)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42 fake mp4 bytes")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video(hdr + b"FRAME\n" + fr[:5])
+
+    # per-frame stats + temporal motion flow through the Arrow kernel
+    feats = video_features(attach_fake_video(df)).collect()
+    by_key = {(r["doc_id"], r["frame_idx"]): r for r in feats}
+    assert len(by_key) == 6
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        fr3 = planes(text).astype("int64")
+        for f in range(3):
+            r = by_key[(doc_id, f)]
+            assert r["y_mean"] == float(int(fr3[f, 0].sum())) / 16
+            assert r["y_peak"] == int(fr3[f, 0].max())
+            assert r["u_mean"] == float(int(fr3[f, 1].sum())) / 16
+            assert r["v_mean"] == float(int(fr3[f, 2].sum())) / 16
+            want_motion = (
+                0.0
+                if f == 0
+                else float(int(np.abs(fr3[f, 0] - fr3[f - 1, 0]).sum())) / 16
+            )
+            assert r["y_motion"] == want_motion
