@@ -1033,6 +1033,52 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_ann_topk",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000
+), scored AS (
+  SELECT q.vec_id AS query_id, q.bucket AS bucket, b.vec_id AS neighbor_id,
+         list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS cosine
+  FROM vb q JOIN vb b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-built ANN index, batch-oracle-checked: the embeddings
+    corpus arrives in 3 epochs through the exactly-once sink
+    (``incremental_ann_sink`` — each epoch appends its sign-LSH index rows,
+    compaction fires mid-run), then ``ann_query_topk`` queries the
+    committed store with the full corpus. Equal by construction to batch
+    ``lsh_ann_topk``, so the oracle is the SAME SQL — a streaming
+    composition holding a hash-exact SQL contract."""
+    import tempfile
+
+    from arroyo_spark.streaming.incremental import ann_query_topk, incremental_ann_sink
+    from arroyo_spark.streaming.ledger import OffsetsLedger
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="inc_ann_")
+    ledger = OffsetsLedger(tmp, "ann")
+    sink = incremental_ann_sink(
+        f"{tmp}/index", ledger, n_planes=8, dim=64, compact_every=2
+    )
+    for i in range(3):  # deterministic 3-way epoch split
+        sink(e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i), i)
+    return ann_query_topk(sink, spark, e, k=5, n_planes=8, dim=64)
+
+
+@query(
     "ivf_ann_topk",
     """
 WITH v AS (

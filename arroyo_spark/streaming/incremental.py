@@ -203,6 +203,144 @@ def minhash_keep_set(sink: ExactlyOnceSink, spark, id_col: str = "doc_id") -> Da
     return sink.read_output(spark).filter(F.col("kept")).select(id_col).distinct()
 
 
+# ---------------------------------------------------------------------------
+# Incremental ANN (sign-LSH index maintained through the exactly-once sink)
+# ---------------------------------------------------------------------------
+def epoch_ann_transform(
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 0,
+    dim: int | None = None,
+):
+    """Per-epoch ANN-index transform: each arriving vector is committed as
+    one index row (id, bucket, vec, norm) — the sink's committed store IS
+    the sign-LSH index, no side database (the similarity twin of
+    ``epoch_dedup_transform``).
+
+    Unlike the dedup transforms this one never reads the store: index
+    maintenance is append-only (a vector's bucket depends only on itself),
+    so per-epoch cost is O(epoch) regardless of index size. The
+    degenerate-bucket cap CANNOT be applied at write time — a bucket only
+    becomes overfull as epochs accumulate — so it is applied at query time
+    (``ann_query_topk``), which also keeps the cap semantics identical to
+    batch ``lsh_ann_topk`` over the same corpus.
+    """
+    from arroyo_spark.operators.similarity import (
+        _infer_dim,
+        hyperplane_sign_bucket,
+        with_norm,
+    )
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        d = dim if dim is not None else _infer_dim(batch_df, vec_col)
+        v = with_norm(batch_df, vec_col, d)
+        return v.select(
+            F.col(id_col),
+            hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=d, seed=seed).alias(
+                "bucket"
+            ),
+            F.col("_vec").alias("vec"),
+            F.col("_norm").alias("norm"),
+        )
+
+    return transform
+
+
+def incremental_ann_sink(
+    output_dir: str,
+    ledger: OffsetsLedger,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 0,
+    dim: int | None = None,
+    compact_every: int | None = 16,
+    **sink_kwargs,
+) -> ExactlyOnceSink:
+    """ExactlyOnceSink whose committed output is a queryable sign-LSH ANN
+    index. ``compact_every`` (default 16) keeps the index read at O(1 +
+    tail) dirs, hash-partitioned by ``bucket`` — the query join key, so a
+    compacted index joins bucket-clustered (at 10^12 vectors: an Iceberg
+    table bucketed by `bucket`)."""
+    sink = ExactlyOnceSink(
+        output_dir=output_dir,
+        ledger=ledger,
+        compact_every=compact_every,
+        compact_keys=("bucket",),
+        **sink_kwargs,
+    )
+    sink.transform = epoch_ann_transform(id_col, vec_col, n_planes, seed, dim)
+    return sink
+
+
+def ann_query_topk(
+    sink: ExactlyOnceSink,
+    spark,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 0,
+    dim: int | None = None,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Top-k over the committed incremental index — equal BY CONSTRUCTION
+    to batch ``lsh_ann_topk`` over the same corpus when ``queries_df`` is
+    that corpus: same hyperplane constants, same query-time degenerate-
+    bucket cap over the full index, same zero-norm exclusion on both the
+    query and neighbor sides, same (cosine DESC, neighbor_id) tie-break.
+
+    Plan shape: the query set is the SMALL side — it is broadcast to the
+    index, so the index itself never shuffles (bucket-clustered scan +
+    broadcast hash join); only candidate rows flow into the top-k window.
+    Output schema matches ``lsh_ann_topk``:
+    (query_id, bucket, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window as W
+
+    from arroyo_spark.operators.similarity import (
+        _cap_buckets,
+        _dot,
+        _infer_dim,
+        hyperplane_sign_bucket,
+        with_norm,
+    )
+
+    d = dim if dim is not None else _infer_dim(queries_df, vec_col)
+    store = _cap_buckets(sink.read_output(spark), max_bucket_size, "bucket")
+    nb = store.filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col("vec").alias("_bv"),
+        F.col("norm").alias("_bn"),
+    )
+    q = (
+        with_norm(queries_df, vec_col, d)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=d, seed=seed).alias(
+                "bucket"
+            ),
+            F.col("_vec").alias("_qv"),
+            F.col("_norm").alias("_qn"),
+        )
+    )
+    scored = (
+        nb.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("_qv"), F.col("_bv"), d) / (F.col("_qn") * F.col("_bn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
 def batch_minhash_keep_set(
     df: DataFrame,
     id_col: str = "doc_id",

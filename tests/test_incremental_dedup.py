@@ -214,3 +214,95 @@ def test_incremental_minhash_crash_restart(spark, near_stream_dir, tmp_path):
         r["doc_id"] for r in batch_minhash_keep_set(_near_corpus(spark)).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index (the similarity twin of the dedup compositions)
+# ---------------------------------------------------------------------------
+VEC_SCHEMA = "vec_id bigint, embedding array<double>"
+
+
+def _vec_epochs():
+    """3 epochs of dim-4 vectors: clusters (bucket collisions), one zero
+    vector (excluded from cosine by contract), and one direction crowded
+    enough to trip a query-time bucket cap."""
+    import random
+
+    rng = random.Random(7)
+    base = [
+        [1.0, 0.2, 0.1, 0.0],
+        [-0.5, 1.0, 0.3, -0.2],
+        [0.1, -0.3, 1.0, 0.4],
+    ]
+    rows, vid = [], 0
+    for ep in range(3):
+        epoch = []
+        for b in base:
+            for _ in range(4):  # 4 jittered members per direction per epoch
+                epoch.append(
+                    (vid, [x + rng.uniform(-0.05, 0.05) for x in b])
+                )
+                vid += 1
+        if ep == 0:
+            epoch.append((vid, [0.0, 0.0, 0.0, 0.0]))  # zero-norm
+            vid += 1
+        rows.append(epoch)
+    return rows
+
+
+@pytest.fixture()
+def vec_stream_dir(spark, tmp_path):
+    src = tmp_path / "vecs"
+    src.mkdir()
+    for i, rows in enumerate(_vec_epochs()):
+        df = spark.createDataFrame(rows, VEC_SCHEMA)
+        tmp = str(tmp_path / f"_v{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / f"{i:03d}.parquet"))
+    return str(src)
+
+
+def test_incremental_ann_equals_batch_lsh(spark, vec_stream_dir, tmp_path):
+    """The committed store is a queryable sign-LSH index: querying it with
+    the corpus reproduces batch lsh_ann_topk exactly — same hyperplanes,
+    same query-time bucket cap, same zero-norm exclusion, same tie-break.
+    compact_every=2 forces a compaction inside the 3-epoch run, so the
+    equality also certifies compacted + tail index reads."""
+    from arroyo_spark.operators.similarity import lsh_ann_topk
+    from arroyo_spark.streaming.incremental import ann_query_topk, incremental_ann_sink
+
+    out = str(tmp_path / "index")
+    ledger = OffsetsLedger(str(tmp_path), "ann")
+    sink = incremental_ann_sink(
+        out, ledger, n_planes=3, dim=4, compact_every=2
+    )
+    proc = StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(vec_stream_dir, VEC_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=f"{out}/ckpt",
+    )
+    proc.run_until_complete()
+    assert len(ledger.epochs()) >= 3
+
+    corpus = spark.createDataFrame(
+        [r for ep in _vec_epochs() for r in ep], VEC_SCHEMA
+    )
+    kwargs = dict(k=3, n_planes=3, dim=4, max_bucket_size=6)
+    got = ann_query_topk(sink, spark, corpus, **kwargs).collect()
+    want = lsh_ann_topk(corpus, **kwargs).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got_m = {key(r): (r["bucket"], r["neighbor_id"], r["cosine"]) for r in got}
+    want_m = {key(r): (r["bucket"], r["neighbor_id"], r["cosine"]) for r in want}
+    assert got_m == want_m and len(got) == len(want)
+    # the zero vector appears in NO result (neither as query nor neighbor)
+    zero_id = 12 * 1 + 0 + 12  # first row appended after epoch 0's 12
+    assert all(
+        r["query_id"] != zero_id and r["neighbor_id"] != zero_id for r in got
+    )
+    # cap is live: with an uncapped query the crowded buckets return more
+    uncapped = ann_query_topk(
+        sink, spark, corpus, k=3, n_planes=3, dim=4, max_bucket_size=None
+    ).count()
+    assert uncapped >= len(got)
