@@ -464,6 +464,137 @@ def ivf_ann_topk(
     )
 
 
+def pq_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    n_queries: int | None = 256,
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN: exhaustive scan in the COMPRESSED domain.
+
+    The memory path for ANN at 10^9-10^12 vectors (complements
+    ``lsh_ann_topk``/``ivf_ann_topk``, which bound the candidate SET): each
+    base vector is stored as ``m`` one-byte codes + its true norm — a 32x
+    compression at dim=64 float64 — and approximate cosines are computed
+    against vectors RECONSTRUCTED from the broadcast codebook at scan time
+    (decode-on-scan), so shuffles and the index itself carry codes, never
+    vectors. In a full deployment PQ composes with IVF (scan only the
+    probed cells' codes); here the scan is exhaustive, which is exactly the
+    in-RAM compressed sweep those systems run per cell.
+
+    Deterministic training-free codebook, same rank-based selection as
+    ``ivf_ann_topk``: the ``k_codes`` lowest-id vectors supply the
+    codewords; subspace ``j``'s codeword ``c`` is that vector's ``j``-th
+    ``dim/m``-slice. Encoding picks argmin_c ||x_j - cw_c||^2 via the key
+    ``dot(cw, cw) - 2*dot(x_j, cw)`` (ties -> smallest c) — both dots are
+    the same sequential folds as ``_dot``, and the scoring is one
+    ``_dot(q, x_hat)`` over the reconstructed vector, so every arithmetic
+    step is bit-reproducible in SQL (list_dot_product on slices). The
+    per-query ADC lookup-table variant (score = m table adds instead of a
+    dim-term dot) is a drop-in swap of the scoring projection; decode-on-
+    scan is kept because it holds the hash-exact oracle contract.
+
+    ``n_queries`` bounds the query side (lowest ids; None = all vectors) —
+    the query set is broadcast so the compressed base scan never shuffles.
+    Output: (query_id, neighbor_id, approx_cosine, rank) — approximate by
+    design (reconstruction error), verified bit-exactly against the SQL
+    oracle and by a recall test vs exact ``cosine_topk``.
+    """
+    from pyspark.sql import Window as W
+
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+    v = (
+        with_norm(df, vec_col, dim)
+        .filter(F.col("_norm") > 0)  # uniform zero-norm contract
+        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
+        .repartition(n_parts)
+    )
+    # codebook: k_codes rows — KBs — collected once and attached as ONE
+    # broadcast row of arrays (same shape as ivf_ann_topk's centroids)
+    cw_rows = v.orderBy("_id").limit(k_codes).collect()
+
+    def _py_dot(xs) -> float:  # sequential fold — bit-identical to _dot
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    # cc = dot(cw_jc, cw_jc) depends only on (j, c): precomputed ONCE on
+    # the driver with the same sequential fold (bit-identical to the SQL
+    # oracle's list_dot_product recomputation) — halves the per-row encode
+    # folds vs recomputing cc per (row, j, c)
+    ccs = [
+        [_py_dot(r["_vec"][j * sub : (j + 1) * sub]) for r in cw_rows]
+        for j in range(m)
+    ]
+    cents = df.sparkSession.createDataFrame(
+        [([r["_vec"] for r in cw_rows], ccs)],
+        "_cvs array<array<double>>, _ccs array<array<double>>",
+    )
+
+    def _fold(a_expr: str, b_expr: str) -> str:
+        return (
+            f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> x * y), 0.0D,"
+            " (a, x) -> a + x)"
+        )
+
+    def _cw(c_expr: str) -> str:  # codeword c's subspace-j slice
+        return f"slice(element_at(_cvs, {c_expr}), j * {sub} + 1, {sub})"
+
+    # per row: m argmins over k_codes codewords, inside one projection
+    key = (
+        "element_at(element_at(_ccs, j + 1), c + 1) - 2.0D * "
+        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))}"
+    )
+    codes_expr = (
+        f"transform(sequence(0, {m - 1}), j -> element_at(slice(array_sort("
+        f"transform(sequence(0, {k_codes - 1}), c -> named_struct('key', {key}, 'c', c))"
+        f"), 1, 1), 1).c)"
+    )
+    xhat_expr = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"slice(element_at(_cvs, element_at(_codes, j + 1) + 1), j * {sub} + 1, {sub})))"
+    )
+    base = (
+        v.join(F.broadcast(cents))
+        .select("_id", "_norm", F.expr(codes_expr).alias("_codes"), "_cvs")
+        # the index row: (_id, _codes, _norm) — m bytes + a double per
+        # vector; _xhat is reconstructed in the scan projection below
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_norm").alias("_bn"),
+            F.expr(xhat_expr).alias("_xhat"),
+        )
+    )
+    q = v if n_queries is None else v.orderBy("_id").limit(n_queries)
+    q = q.select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    scored = (
+        base.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_cosine", _dot(F.col("_qv"), F.col("_xhat"), dim) / (F.col("_qn") * F.col("_bn"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_cosine", "rank")
+    )
+
+
 def lsh_ann_topk_multiband(
     df: DataFrame,
     k: int = 10,

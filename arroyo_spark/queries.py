@@ -1118,6 +1118,61 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_ann_topk",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS ce
+  FROM v ORDER BY vec_id LIMIT 64
+), enc AS (
+  SELECT v.vec_id, j.j, cb.c,
+         list_dot_product(cb.ce[j.j*8+1 : j.j*8+8], cb.ce[j.j*8+1 : j.j*8+8])
+         - 2 * list_dot_product(v.e[j.j*8+1 : j.j*8+8], cb.ce[j.j*8+1 : j.j*8+8]) AS key
+  FROM v CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN cb
+), best AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY key, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+), recon AS (
+  SELECT b.vec_id, flatten(list(cb.ce[b.j*8+1 : b.j*8+8] ORDER BY b.j)) AS xhat
+  FROM best b JOIN cb ON cb.c = b.c
+  GROUP BY b.vec_id
+), q AS (
+  SELECT vec_id, e, nrm FROM v ORDER BY vec_id LIMIT 256
+), scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         list_dot_product(q.e, r.xhat) / (q.nrm * bv.nrm) AS approx_cosine
+  FROM q CROSS JOIN recon r
+  JOIN v bv ON bv.vec_id = r.vec_id
+  WHERE q.vec_id <> r.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory path at 10^9-10^12 vectors):
+    8 subspaces x 64 codewords — each base vector stored as 8 one-byte
+    codes + its norm (32x compression) and scored against the codebook
+    reconstruction at scan time. Every arithmetic step (the cc - 2xc
+    encode key, the reconstructed dot) is the same sequential fold on both
+    engines, so the oracle is hash-exact despite PQ being approximate."""
+    from arroyo_spark.operators.similarity import pq_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(e, k=5, m=8, k_codes=64, n_queries=256, dim=64)
+
+
+@query(
     "lsh_ann_multiband",
     f"""
 WITH v AS (
