@@ -479,24 +479,25 @@ def pq_ann_topk(
     The memory path for ANN at 10^9-10^12 vectors (complements
     ``lsh_ann_topk``/``ivf_ann_topk``, which bound the candidate SET): each
     base vector is stored as ``m`` one-byte codes + its true norm — a 32x
-    compression at dim=64 float64 — and approximate cosines are computed
-    against vectors RECONSTRUCTED from the broadcast codebook at scan time
-    (decode-on-scan), so shuffles and the index itself carry codes, never
-    vectors. In a full deployment PQ composes with IVF (scan only the
-    probed cells' codes); here the scan is exhaustive, which is exactly the
-    in-RAM compressed sweep those systems run per cell.
+    compression at dim=64 float64 — and scored by ADC (asymmetric distance
+    computation): each query precomputes its m x k_codes lookup table of
+    subspace dot products once, and a pair then costs m table adds — per-
+    pair work independent of dim, and shuffles and the index itself carry
+    codes, never vectors. In a full deployment PQ composes with IVF (scan
+    only the probed cells' codes); here the scan is exhaustive, which is
+    exactly the in-RAM compressed sweep those systems run per cell.
 
     Deterministic training-free codebook, same rank-based selection as
     ``ivf_ann_topk``: the ``k_codes`` lowest-id vectors supply the
     codewords; subspace ``j``'s codeword ``c`` is that vector's ``j``-th
     ``dim/m``-slice. Encoding picks argmin_c ||x_j - cw_c||^2 via the key
-    ``dot(cw, cw) - 2*dot(x_j, cw)`` (ties -> smallest c) — both dots are
-    the same sequential folds as ``_dot``, and the scoring is one
-    ``_dot(q, x_hat)`` over the reconstructed vector, so every arithmetic
-    step is bit-reproducible in SQL (list_dot_product on slices). The
-    per-query ADC lookup-table variant (score = m table adds instead of a
-    dim-term dot) is a drop-in swap of the scoring projection; decode-on-
-    scan is kept because it holds the hash-exact oracle contract.
+    ``dot(cw, cw) - 2*dot(x_j, cw)`` (ties -> smallest c; the codeword
+    self-dots are precomputed once driver-side with the same fold), and
+    the ADC score is a sequential left-to-right sum of m per-subspace
+    dots, each the same fold as ``_dot`` — so every arithmetic step is
+    bit-reproducible in SQL (list_dot_product on slices + an ordered
+    ts[1] + ... + ts[m] sum) and the oracle is hash-exact even though PQ
+    itself is approximate.
 
     ``n_queries`` bounds the query side (lowest ids; None = all vectors) —
     the query set is broadcast so the compressed base scan never shuffles.
@@ -561,31 +562,41 @@ def pq_ann_topk(
         f"transform(sequence(0, {k_codes - 1}), c -> named_struct('key', {key}, 'c', c))"
         f"), 1, 1), 1).c)"
     )
-    xhat_expr = (
-        f"flatten(transform(sequence(0, {m - 1}), j -> "
-        f"slice(element_at(_cvs, element_at(_codes, j + 1) + 1), j * {sub} + 1, {sub})))"
-    )
     base = (
         v.join(F.broadcast(cents))
-        .select("_id", "_norm", F.expr(codes_expr).alias("_codes"), "_cvs")
-        # the index row: (_id, _codes, _norm) — m bytes + a double per
-        # vector; _xhat is reconstructed in the scan projection below
+        .select("_id", "_norm", F.expr(codes_expr).alias("_codes"))
+        # the index row — m small ints + a double per vector, nothing else
         .select(
             F.col("_id").alias("neighbor_id"),
             F.col("_norm").alias("_bn"),
-            F.expr(xhat_expr).alias("_xhat"),
+            "_codes",
         )
     )
+    # ADC: each query precomputes its m*k_codes lookup table (one
+    # projection against the broadcast codebook); a pair then costs m
+    # table adds instead of a dim-term dot — the per-pair work no longer
+    # depends on dim at all
+    qtab_expr = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {k_codes - 1}), c -> "
+        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))})))"
+    )
     q = v if n_queries is None else v.orderBy("_id").limit(n_queries)
-    q = q.select(
-        F.col("_id").alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
+    q = q.join(F.broadcast(cents)).select(
+        F.col("_id").alias("query_id"),
+        F.expr(qtab_expr).alias("_qtab"),
+        F.col("_norm").alias("_qn"),
+    )
+    # sequential left-to-right sum over j — the same association the SQL
+    # oracle's ts[1] + ... + ts[m] uses, so the bits match
+    adc_ip = " + ".join(
+        f"element_at(_qtab, {j} * {k_codes} + element_at(_codes, {j} + 1) + 1)"
+        for j in range(m)
     )
     scored = (
         base.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "approx_cosine", _dot(F.col("_qv"), F.col("_xhat"), dim) / (F.col("_qn") * F.col("_bn"))
-        )
+        .withColumn("approx_cosine", F.expr(adc_ip) / (F.col("_qn") * F.col("_bn")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("approx_cosine").desc(), F.col("neighbor_id"))
     return (

@@ -1139,18 +1139,24 @@ WITH v AS (
            row_number() OVER (PARTITION BY vec_id, j ORDER BY key, c) AS rn
     FROM enc
   ) WHERE rn = 1
-), recon AS (
-  SELECT b.vec_id, flatten(list(cb.ce[b.j*8+1 : b.j*8+8] ORDER BY b.j)) AS xhat
-  FROM best b JOIN cb ON cb.c = b.c
-  GROUP BY b.vec_id
 ), q AS (
   SELECT vec_id, e, nrm FROM v ORDER BY vec_id LIMIT 256
+), qtab AS (
+  SELECT q.vec_id AS qid, j.j, cb.c,
+         list_dot_product(q.e[j.j*8+1 : j.j*8+8], cb.ce[j.j*8+1 : j.j*8+8]) AS t
+  FROM q CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN cb
+), pairsum AS (
+  SELECT qt.qid AS query_id, b.vec_id AS neighbor_id, list(qt.t ORDER BY qt.j) AS ts
+  FROM best b JOIN qtab qt ON qt.c = b.c AND qt.j = b.j
+  GROUP BY 1, 2
 ), scored AS (
-  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         list_dot_product(q.e, r.xhat) / (q.nrm * bv.nrm) AS approx_cosine
-  FROM q CROSS JOIN recon r
-  JOIN v bv ON bv.vec_id = r.vec_id
-  WHERE q.vec_id <> r.vec_id
+  SELECT p.query_id, p.neighbor_id,
+         (ts[1] + ts[2] + ts[3] + ts[4] + ts[5] + ts[6] + ts[7] + ts[8])
+           / (q.nrm * bv.nrm) AS approx_cosine
+  FROM pairsum p
+  JOIN q ON q.vec_id = p.query_id
+  JOIN v bv ON bv.vec_id = p.neighbor_id
+  WHERE p.query_id <> p.neighbor_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY approx_cosine DESC, neighbor_id) AS rank
