@@ -606,6 +606,142 @@ def pq_ann_topk(
     )
 
 
+def ivfpq_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    k_codes: int = 64,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF+PQ: the production ANN shape (FAISS IVFPQ) — IVF bounds the
+    candidate SET (each query scores only its ``n_probe`` closest cells'
+    members), PQ bounds the candidate MEMORY (those members are scanned as
+    ``m`` one-byte codes + a norm, ADC lookup-table scoring). Composes the
+    two operators this module already ships: cell assignment is
+    ``ivf_ann_topk``'s single-projection broadcast-centroid pick, encoding
+    and scoring are ``pq_ann_topk``'s (one GLOBAL codebook — IVF-Flat +
+    global PQ — not per-cell residual codebooks, which would break the
+    training-free determinism both oracles rely on).
+
+    Plan shape at 10^12 vectors: one broadcast row (centroids + codebook +
+    code self-dots), one projection per base row (cell + codes), the
+    search join hash-partitioned on cell id with codes-only rows, per pair
+    m table adds. Every arithmetic step is the shared sequential fold, so
+    the composition stays hash-exact against SQL.
+    """
+    from pyspark.sql import Window as W
+
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+    v = (
+        with_norm(df, vec_col, dim)
+        .filter(F.col("_norm") > 0)
+        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
+        .repartition(n_parts)
+    )
+    head = v.orderBy("_id").limit(max(n_cells, k_codes)).collect()
+    cent_rows, cw_rows = head[:n_cells], head[:k_codes]
+
+    def _py_dot2(xs, ys) -> float:
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc = acc + x * y
+        return acc
+
+    ccs = [
+        [_py_dot2(r["_vec"][j * sub : (j + 1) * sub], r["_vec"][j * sub : (j + 1) * sub]) for r in cw_rows]
+        for j in range(m)
+    ]
+    consts = df.sparkSession.createDataFrame(
+        [(
+            [r["_id"] for r in cent_rows],
+            [r["_vec"] for r in cent_rows],
+            [r["_norm"] for r in cent_rows],
+            [r["_vec"] for r in cw_rows],
+            ccs,
+        )],
+        "_cells array<bigint>, _cents array<array<double>>, _cns array<double>, "
+        "_cvs array<array<double>>, _ccs array<array<double>>",
+    )
+
+    def _fold(a_expr: str, b_expr: str) -> str:
+        return (
+            f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> x * y), 0.0D,"
+            " (a, x) -> a + x)"
+        )
+
+    def _cw(c_expr: str) -> str:
+        return f"slice(element_at(_cvs, {c_expr}), j * {sub} + 1, {sub})"
+
+    # same probe expression as ivf_ann_topk (bit-identical cell choice)
+    probe_expr = (
+        "slice(array_sort(transform(sequence(0, size(_cells) - 1), i -> named_struct("
+        "'negsim', -(aggregate(zip_with(_vec, element_at(_cents, i + 1), (x, y) -> x * y), 0.0D,"
+        " (a, x) -> a + x) / (_norm * element_at(_cns, i + 1))), "
+        f"'cell', element_at(_cells, i + 1)))), 1, {n_probe})"
+    )
+    key = (
+        "element_at(element_at(_ccs, j + 1), c + 1) - 2.0D * "
+        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))}"
+    )
+    codes_expr = (
+        f"transform(sequence(0, {m - 1}), j -> element_at(slice(array_sort("
+        f"transform(sequence(0, {k_codes - 1}), c -> named_struct('key', {key}, 'c', c))"
+        f"), 1, 1), 1).c)"
+    )
+    qtab_expr = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {k_codes - 1}), c -> "
+        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))})))"
+    )
+    assign = (
+        v.join(F.broadcast(consts))
+        .select(
+            "_id",
+            "_vec",
+            "_norm",
+            F.expr(codes_expr).alias("_codes"),
+            F.expr(qtab_expr).alias("_qtab"),
+            F.posexplode(F.expr(probe_expr)).alias("_pos", "_p"),
+        )
+        .select(
+            "_id", "_codes", "_qtab", "_norm",
+            F.col("_p.cell").alias("cell"),
+            (F.col("_pos") + 1).alias("_pr"),
+        )
+    )
+    base = assign.filter(F.col("_pr") == 1).select(
+        F.col("_id").alias("neighbor_id"), "cell", "_codes", F.col("_norm").alias("_bn")
+    )
+    probes = assign.select(
+        F.col("_id").alias("query_id"), "cell", "_qtab", F.col("_norm").alias("_qn")
+    )
+    adc_ip = " + ".join(
+        f"element_at(_qtab, {j} * {k_codes} + element_at(_codes, {j} + 1) + 1)"
+        for j in range(m)
+    )
+    scored = (
+        probes.join(base, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_cosine", F.expr(adc_ip) / (F.col("_qn") * F.col("_bn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_cosine", "rank")
+    )
+
+
 def lsh_ann_topk_multiband(
     df: DataFrame,
     k: int = 10,

@@ -1179,6 +1179,77 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfpq_ann_topk",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
+  SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v ORDER BY vec_id LIMIT 16
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS ce
+  FROM v ORDER BY vec_id LIMIT 64
+), assign AS (
+  SELECT v.vec_id, c.cell, v.nrm,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cn) DESC, c.cell) AS pr
+  FROM v CROSS JOIN c
+), enc AS (
+  SELECT v.vec_id, j.j, cb.c,
+         list_dot_product(cb.ce[j.j*8+1 : j.j*8+8], cb.ce[j.j*8+1 : j.j*8+8])
+         - 2 * list_dot_product(v.e[j.j*8+1 : j.j*8+8], cb.ce[j.j*8+1 : j.j*8+8]) AS key
+  FROM v CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN cb
+), best AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY key, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+), qtab AS (
+  SELECT v.vec_id AS qid, j.j, cb.c,
+         list_dot_product(v.e[j.j*8+1 : j.j*8+8], cb.ce[j.j*8+1 : j.j*8+8]) AS t
+  FROM v CROSS JOIN (SELECT unnest(range(8)) AS j) j CROSS JOIN cb
+), pairs AS (
+  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id, p.nrm AS qn, b.nrm AS bn
+  FROM assign p
+  JOIN assign b ON p.cell = b.cell AND b.pr = 1 AND p.vec_id <> b.vec_id
+  WHERE p.pr <= 2
+), pairsum AS (
+  SELECT pr.query_id, pr.neighbor_id, min(pr.qn) AS qn, min(pr.bn) AS bn,
+         list(qt.t ORDER BY qt.j) AS ts
+  FROM pairs pr
+  JOIN best bs ON bs.vec_id = pr.neighbor_id
+  JOIN qtab qt ON qt.qid = pr.query_id AND qt.j = bs.j AND qt.c = bs.c
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         (ts[1] + ts[2] + ts[3] + ts[4] + ts[5] + ts[6] + ts[7] + ts[8])
+           / (qn * bn) AS approx_cosine
+  FROM pairsum
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production ANN shape (FAISS IVFPQ), composing the two
+    scale paths this engine ships: IVF bounds the candidate SET (each
+    query ADC-scores only its 2 closest of 16 cells), PQ bounds the
+    candidate MEMORY (cell members scanned as 8 one-byte codes + a norm).
+    Both stages reuse the bit-reproducible arithmetic of their standalone
+    operators, so the composition is hash-exact against SQL."""
+    from arroyo_spark.operators.similarity import ivfpq_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_ann_topk(e, k=5, n_cells=16, n_probe=2, m=8, k_codes=64, dim=64)
+
+
+@query(
     "lsh_ann_multiband",
     f"""
 WITH v AS (

@@ -287,3 +287,37 @@ def test_pq_ann_recall_and_compression(spark):
     )
     zr = pq_ann_topk(z, k=3, m=8, k_codes=16, n_queries=None, dim=64).collect()  # coarse: only exclusion matters here
     assert all(r.query_id != 999999 and r.neighbor_id != 999999 for r in zr)
+
+
+def test_ivfpq_recall_and_candidate_discipline(spark):
+    """IVF+PQ composition: candidates restricted to probed cells (subset of
+    plain IVF's pairs at equal cell geometry), recall above chance, lists
+    sorted by approx cosine."""
+    from arroyo_spark.operators.similarity import ivf_ann_topk, ivfpq_ann_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, k=3).collect()}
+    rows = ivfpq_ann_topk(
+        e, k=3, n_cells=8, n_probe=3, m=16, k_codes=64, dim=64
+    ).collect()
+    assert rows, "ivfpq returned nothing"
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # IVF misses x PQ distortion compound
+
+    # candidate discipline: every reported pair must be one plain IVF
+    # (same cells/probes, k=full) could have scored — the PQ stage only
+    # RERANKS within the probed cells, it cannot invent candidates
+    ivf_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(e, k=200, n_cells=8, n_probe=3, dim=64).collect()
+    }
+    assert approx <= ivf_pairs
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.approx_cosine))
+    for rs in by_q.values():
+        rs.sort()
+        cs = [c for _, c in rs]
+        assert cs == sorted(cs, reverse=True)
