@@ -22,6 +22,16 @@ from arroyo_spark.operators.join import (  # noqa: F401
     stream_correlate,
 )
 from arroyo_spark.operators.buffer import stateful_buffer  # noqa: F401
+from arroyo_spark.operators.corpus import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from arroyo_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+)
 from arroyo_spark.operators.cep import (  # noqa: F401
     match_absence,
     match_adjacent,

@@ -242,3 +242,111 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: (id, cluster_id).
+
+    cluster_id is the MINIMUM id in each component — the canonical survivor
+    of a duplicate cluster. This is the step every near-dup pipeline needs
+    after LSH: candidate pairs are edges, true duplicate GROUPS are the
+    transitive closure (A~B, B~C => {A,B,C} even if A,C never shared a
+    band).
+
+    Algorithm: distributed min-label propagation with pointer jumping
+    (the MapReduce CC family, cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public literature, not the reference,
+    which has no graph surface):
+
+      label(v) <- min(label(v), min_{u in N(v)} label(u))   # neighbor min
+      label(v) <- label(label(v))                            # pointer jump
+
+    Neighbor-min alone converges in O(diameter) rounds; the pointer-jump
+    join cuts long chains to O(log d). Each round is two hash joins + one
+    partial-aggregating groupBy, all keyed on node ids — at 10^9 docs the
+    graph is the LSH candidate set (orders of magnitude smaller than the
+    corpus), and every shuffle carries (id, label) pairs only. Lineage is
+    truncated per round with localCheckpoint (on a cluster: a temp-table
+    write), and the per-round driver action is a single changed-row count.
+
+    Termination: labels are monotonically non-increasing and bounded below
+    by the component minimum, so the changed-count hits zero in finitely
+    many rounds; at the neighbor-min fixed point labels are constant across
+    every (symmetric) edge, i.e. constant per component, and the component
+    minimum keeps its own label, so constant == minimum. max_iters is a
+    backstop (a graph needing >50 pointer-jumped rounds is pathological);
+    hitting it raises rather than returning wrong clusters.
+    """
+    sym = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    edges = sym.distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label(v) <- label(label(v)); labels are node ids by
+        # construction (min over initial ids), so the self-join always hits
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_id"])
+            .select("id", F.col("p_label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus keep decision from candidate pairs: (id, cluster_id, keep).
+
+    Composes connected_components over the (small) candidate subgraph, then
+    LEFT-joins the labels back onto the full corpus — singleton documents
+    never enter the iteration, so the per-round cost is O(candidate set),
+    not O(corpus). keep == true for exactly one document per duplicate
+    cluster (the minimum id) and for every singleton.
+    """
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col(id_col))
+    )

@@ -1809,6 +1809,127 @@ def q_cep_assistant_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup clustering: transitive closure of the LSH candidate pairs (the step
+# that turns pair lists into duplicate GROUPS + a full-corpus keep decision).
+# Spark side: iterative min-label propagation with pointer jumping (O(log d)
+# rounds, each shuffling only (id,label) pairs). Oracle: DuckDB recursive CTE
+# computing min reachable id — exact transitive closure, feasible at sf0.01.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    _MINHASH_SQL_PRELUDE.replace("WITH norm", "WITH RECURSIVE norm", 1)
+    + """
+, bands AS (
+  SELECT doc_id, cast(perm // 4 AS int) AS band,
+         md5(string_agg(cast(minhash AS varchar), ',' ORDER BY perm)) AS band_key
+  FROM sig GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b AS s, id_a AS d FROM pairs
+), reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r
+), cc AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc USING (doc_id)
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: LSH candidates -> connected
+    components -> one keep=true survivor per cluster (+ all singletons)."""
+    from arroyo_spark.operators.dedup import dedup_clusters, minhash_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(d, "doc_id", "text", n_perm=8, band_size=4)
+    return dedup_clusters(d, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: concat-packing + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+_TOKENS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang,
+    CASE WHEN nt = '' THEN 0
+         ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_tokens
+  FROM norm
+)"""
+
+
+@query(
+    "pack_sequences",
+    _TOKENS_SQL
+    + """
+, c AS (
+  SELECT doc_id, lang, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM tok
+)
+SELECT doc_id, lang, cast(n_tokens AS int) AS n_tokens,
+       cast(excl // 512 AS bigint) AS pack_id,
+       cast(excl % 512 AS bigint) AS pack_pos
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM concat-packing: cut the per-shard token stream every 512 tokens;
+    a document belongs to the pack where its first token lands. One shuffle
+    (hash by lang shard) + one window cumsum — no stateful first-fit loop."""
+    from arroyo_spark.operators.corpus import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(d, "lang", "doc_id", "n_tokens", budget=512)
+
+
+@query(
+    "stratified_sample",
+    """
+SELECT doc_id, lang,
+  cast(('0x' || substring(md5('mix1' || cast(doc_id AS varchar)), 1, 15))::bigint
+       % 10000 AS int) AS bucket
+FROM documents
+WHERE ('0x' || substring(md5('mix1' || cast(doc_id AS varchar)), 1, 15))::bigint
+      % 10000
+  < CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 10000 WHEN 'de' THEN 5000
+    ELSE 2500 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: keep 10% of en, 100% of zh, 50% of de, 25% default —
+    deterministically by key hash (replay/retry/engine stable, samples
+    nest by construction). Map-side filter, zero shuffles."""
+    from arroyo_spark.operators.corpus import hash_bucket, stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", "doc_id",
+        rates={"en": 0.10, "zh": 1.0, "de": 0.50},
+        default_rate=0.25,
+        salt="mix1",
+    )
+    return out.select(
+        "doc_id", "lang", hash_bucket("doc_id", salt="mix1").alias("bucket")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,131 @@
+"""Connected-components dedup clustering + corpus-curation operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arroyo_spark.operators.corpus import (
+    hash_bucket,
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from arroyo_spark.operators.dedup import connected_components, dedup_clusters
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+
+
+def _union_find(edges):
+    """Reference clustering: textbook union-find over the edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    # two chained clusters (A~B, B~C but never A~C), one pair, no overlap
+    edges = [(1, 2), (2, 3), (3, 9), (20, 21), (30, 31), (31, 32), (30, 32)]
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+    assert got[9] == 1 and got[21] == 20 and got[32] == 30
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    # a 64-node path: neighbor-min alone needs ~63 rounds — the pointer
+    # jump must cut this under the 50-round backstop
+    edges = [(i, i + 1) for i in range(63)]
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_dedup_clusters_keep_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    out = dedup_clusters(corpus, _pairs(spark, [(1, 3), (3, 5)]), "doc_id")
+    rows = {r.doc_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert rows[1] == (1, True) and rows[3] == (1, False) and rows[5] == (1, False)
+    # singletons never enter the iteration but keep themselves
+    for s in (0, 2, 4, 6, 7):
+        assert rows[s] == (s, True)
+    # exactly one survivor per cluster + singletons
+    assert sum(1 for _, k in rows.values() if k) == 6
+
+
+def test_pack_sequences_concat_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 150), (3, "s", 300), (4, "s", 10), (5, "t", 600)],
+        "doc_id long, shard string, n_tokens int",
+    )
+    out = {
+        r.doc_id: (r.pack_id, r.pack_pos)
+        for r in pack_sequences(df, "shard", "doc_id", "n_tokens", budget=256).collect()
+    }
+    # exclusive cumsums in shard s: 0, 100, 250, 550
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 100)
+    assert out[3] == (0, 250)  # starts in pack 0, straddles into packs 1-2
+    assert out[4] == (2, 38)  # 550 // 256 = 2, 550 % 256 = 38
+    assert out[5] == (0, 0)  # shards pack independently
+
+
+def test_hash_sample_is_deterministic_and_nests(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    s10 = {r.k for r in hash_sample(df, "k", 0.10, salt="s").collect()}
+    s20 = {r.k for r in hash_sample(df, "k", 0.20, salt="s").collect()}
+    again = {r.k for r in hash_sample(df, "k", 0.10, salt="s").collect()}
+    assert s10 == again  # replay-stable (the exactly-once-sink property)
+    assert s10 < s20  # samples nest: growing the rate never resamples
+    assert 0.06 < len(s10) / 2000 < 0.14
+    # a different salt draws an (almost surely) different sample
+    other = {r.k for r in hash_sample(df, "k", 0.10, salt="t").collect()}
+    assert other != s10
+
+
+def test_stratified_sample_rates_and_bucket_agreement(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, "lang", "doc_id", rates={"zh": 1.0}, default_rate=0.2, salt="x"
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    assert by_lang["zh"] == 500  # rate 1.0 keeps every row
+    assert 60 < by_lang.get("en", 0) < 140  # default 0.2 of 500
+    # the surviving en rows are exactly those under the bucket threshold
+    kept = {
+        r.doc_id
+        for r in out.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    buckets = {
+        r.doc_id: r.b
+        for r in df.filter(F.col("lang") == "en")
+        .select("doc_id", hash_bucket("doc_id", salt="x").alias("b"))
+        .collect()
+    }
+    assert kept == {d for d, b in buckets.items() if b < 2000}
