@@ -23,8 +23,10 @@ from arroyo_spark.operators.join import (  # noqa: F401
 )
 from arroyo_spark.operators.buffer import stateful_buffer  # noqa: F401
 from arroyo_spark.operators.corpus import (  # noqa: F401
+    deterministic_shuffle,
     hash_bucket,
     hash_sample,
+    ngram_decontaminate,
     pack_sequences,
     stratified_sample,
 )

@@ -81,6 +81,85 @@ def stratified_sample(
     return df.filter(hash_bucket(key_col, n_buckets, salt) < thr)
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share >=
+    min_overlap distinct word n-grams with ANY benchmark document.
+
+    The standard pretraining hygiene step (n-gram-overlap decontamination,
+    as popularized by public LM training reports). Shape at 100 TB: the
+    benchmark side is tiny by construction (eval suites, ~10^4-10^6 docs),
+    so its distinct shingle set is collected into a BROADCAST hash side —
+    the 10^9-doc train side streams map-side through one broadcast
+    semi-join + one partial-aggregating count, shuffling only (id, n_hits)
+    pairs. Returns every train row's decision: (id, n_hits, contaminated).
+    """
+    from arroyo_spark.operators.dedup import _shingle_rows
+
+    bench_sh = _shingle_rows(bench, id_col, text_col, shingle_n).select("shingle").distinct()
+    train_sh = _shingle_rows(train, id_col, text_col, shingle_n).distinct()
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= min_overlap)
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "", n_shards: int = 64
+) -> DataFrame:
+    """Deterministic global shuffle rank: the training-order permutation.
+
+    Pretraining wants a reproducible global shuffle of the corpus; a naive
+    ``orderBy(hash)`` + zipWithIndex funnels 100 TB through ONE partition's
+    window. This is the two-phase rank instead:
+
+      shard  = high bits of the 60-bit key hash (a RANGE partition of the
+               hash space, so shard order == global hash order)
+      rank   = (sum of smaller shards' counts) + row_number within shard
+
+    The shard-count prefix sum runs over n_shards rows (a single tiny
+    window), offsets come back via one broadcast join, and the per-shard
+    row_number windows parallelize across the cluster — no driver action,
+    no single-partition window, fully lazy. Ties in the 60-bit hash break
+    on the key itself, so the rank is a total order and bit-reproducible
+    across runs and engines.
+    """
+    span = (1 << 60) // n_shards + 1
+    h = md5_hash64(F.concat(F.lit(salt), (F.col(key_col)).cast("string")))
+    keyed = df.withColumn("_h", h).withColumn(
+        "_shard", (F.col("_h") / span).cast("int")
+    )
+    counts = keyed.groupBy("_shard").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_shard", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("_shard").orderBy("_h", key_col)
+    return (
+        keyed.join(F.broadcast(offsets), "_shard")
+        .withColumn(
+            "shuffle_rank", (F.col("_off") + F.row_number().over(w_rank) - 1).cast("long")
+        )
+        .drop("_h", "_shard", "_off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     shard_col: str,

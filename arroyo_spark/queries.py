@@ -1930,6 +1930,65 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_ngrams",
+    _SHINGLES_SQL
+    + """
+, ids AS (
+  SELECT doc_id,
+    ('0x' || substring(md5('bench' || cast(doc_id AS varchar)), 1, 15))::bigint
+      % 10000 < 500 AS is_bench
+  FROM documents
+), bench_sh AS (
+  SELECT DISTINCT shingle FROM sh JOIN ids USING (doc_id) WHERE is_bench
+), train_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh JOIN ids USING (doc_id) WHERE NOT is_bench
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM train_sh JOIN bench_sh USING (shingle)
+  GROUP BY 1
+)
+SELECT i.doc_id, cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits,
+       coalesce(h.n_hits, 0) >= 3 AS contaminated
+FROM ids i LEFT JOIN hits h USING (doc_id) WHERE NOT i.is_bench
+""",
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 5% hash-slice of the
+    corpus plays the eval suite; every remaining train doc is flagged if it
+    shares >= 3 distinct 3-gram shingles with any benchmark doc. Bench
+    shingles broadcast; the train side never shuffles documents."""
+    from arroyo_spark.operators.corpus import hash_bucket, ngram_decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = hash_bucket("doc_id", salt="bench") < 500
+    return ngram_decontaminate(
+        d.filter(~is_bench), d.filter(is_bench), "doc_id", "text", min_overlap=3
+    )
+
+
+@query(
+    "deterministic_shuffle",
+    """
+SELECT doc_id,
+  cast(row_number() OVER (
+    ORDER BY ('0x' || substring(md5('ord1' || cast(doc_id AS varchar)), 1, 15))::bigint,
+             doc_id) - 1 AS bigint) AS shuffle_rank
+FROM documents
+""",
+)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order permutation WITHOUT a global
+    sort: range-sharded hash + per-shard row_number + broadcast prefix
+    offsets. The oracle is the single-window global rank — equality proves
+    the two-phase decomposition is exact."""
+    from arroyo_spark.operators.corpus import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, "doc_id", salt="ord1", n_shards=32).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -129,3 +129,49 @@ def test_stratified_sample_rates_and_bucket_agreement(spark):
         .collect()
     }
     assert kept == {d for d, b in buckets.items() if b < 2000}
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from arroyo_spark.operators.corpus import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a fence"),  # 4 shared shingles
+            (2, "quick brown fox"),  # 1 shared shingle
+            (3, "completely different words entirely"),  # 0
+            (4, ""),  # no shingles at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in ngram_decontaminate(train, bench, "doc_id", "text", min_overlap=2).collect()
+    }
+    assert out[1][0] == 4 and out[1][1] is True
+    assert out[2] == (1, False)
+    assert out[3] == (0, False) and out[4] == (0, False)
+    assert len(out) == 4  # every train row gets a decision
+
+
+def test_deterministic_shuffle_is_exact_global_rank(spark):
+    from arroyo_spark.operators.corpus import deterministic_shuffle
+    from arroyo_spark.operators.dedup import md5_hash64
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = deterministic_shuffle(df, "k", salt="s", n_shards=16)
+    got = {r.k: r.shuffle_rank for r in out.collect()}
+    # reference: single global sort by (hash, key)
+    ref_rows = (
+        df.select("k", md5_hash64(F.concat(F.lit("s"), F.col("k").cast("string"))).alias("h"))
+        .orderBy("h", "k")
+        .collect()
+    )
+    want = {r.k: i for i, r in enumerate(ref_rows)}
+    assert got == want
+    assert sorted(got.values()) == list(range(500))  # a true permutation
+    # original columns survive
+    assert set(out.columns) == {"k", "shuffle_rank"}
