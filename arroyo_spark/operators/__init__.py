@@ -22,6 +22,12 @@ from arroyo_spark.operators.join import (  # noqa: F401
     stream_correlate,
 )
 from arroyo_spark.operators.buffer import stateful_buffer  # noqa: F401
+from arroyo_spark.operators.kmeans import (  # noqa: F401
+    kmeans_assign,
+    kmeans_update,
+    semantic_dedup,
+    train_kmeans,
+)
 from arroyo_spark.operators.corpus import (  # noqa: F401
     deterministic_shuffle,
     hash_bucket,

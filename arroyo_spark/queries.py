@@ -1989,6 +1989,115 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic distributed k-means + SemDeDup semantic dedup
+# (operators/kmeans.py). The oracle UNROLLS Lloyd's iterations as a CTE
+# chain: the fixed-point (int64) centroid update makes the whole training
+# run order-independent, so an iterative algorithm becomes hash-exact
+# checkable — CTE names: k{i} = centroids entering round i, a{i}/u{i} =
+# that round's assignment / quantized update, k{i+1} = the rebuilt
+# centroids (empty or zero-norm cells keep their previous centroid).
+# ---------------------------------------------------------------------------
+_KM_S = 1 << 20  # fixed-point scale (2^20: exponent-shift-exact multiply)
+
+
+def _kmeans_oracle_ctes(n_iter: int, k: int, dim: int = 64, s: int = _KM_S) -> str:
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), k0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cell, e AS c, nrm AS cn
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", a{i} AS (
+  SELECT vec_id, e, nrm, cell FROM (
+    SELECT v.vec_id, v.e, v.nrm, kk.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, kk.c) / (v.nrm * kk.cn) DESC, kk.cell) AS rn
+    FROM v CROSS JOIN k{i} kk) t WHERE rn = 1
+), u{i} AS (
+  SELECT cell, cast(p.pos AS int) AS pos,
+         sum(cast(floor(e[cast(p.pos AS int) + 1] * {float(s)} + 0.5) AS bigint)) AS qsum,
+         count(*) AS n
+  FROM a{i} CROSS JOIN (SELECT range AS pos FROM range({dim})) p
+  GROUP BY 1, 2
+), nc{i} AS (
+  SELECT cell, list(qsum / ({s} * n) ORDER BY pos) AS c FROM u{i} GROUP BY cell
+), k{i + 1} AS (
+  SELECT k{i}.cell,
+         CASE WHEN nc{i}.c IS NOT NULL AND list_dot_product(nc{i}.c, nc{i}.c) > 0
+              THEN nc{i}.c ELSE k{i}.c END AS c,
+         CASE WHEN nc{i}.c IS NOT NULL AND list_dot_product(nc{i}.c, nc{i}.c) > 0
+              THEN sqrt(list_dot_product(nc{i}.c, nc{i}.c)) ELSE k{i}.cn END AS cn
+  FROM k{i} LEFT JOIN nc{i} USING (cell)
+)"""
+        )
+    return "".join(parts)
+
+
+@query(
+    "kmeans_train",
+    _kmeans_oracle_ctes(n_iter=2, k=16)
+    + f"""
+SELECT cell, pos, qsum / ({_KM_S} * n) AS coord FROM u1
+""",
+)
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's rounds over the embeddings; the SECOND round's quantized
+    centroid update is returned as a DataFrame (cell, pos, coord) — i.e.
+    the trained centroids, computed JVM-side. The equality with the oracle
+    proves the fixed-point update made distributed iterative training
+    bit-reproducible (float means would differ in the last ulp per run)."""
+    from arroyo_spark.operators.kmeans import (
+        _prep,
+        kmeans_assign,
+        kmeans_update,
+        train_kmeans,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans(e, k=16, n_iter=1, dim=64)
+    upd = kmeans_update(kmeans_assign(_prep(e, "vec_id", "embedding", 64), cents))
+    return upd.select(
+        "cell", "pos", (F.col("qsum") / (F.lit(_KM_S) * F.col("n"))).alias("coord")
+    )
+
+
+@query(
+    "semantic_dedup",
+    _kmeans_oracle_ctes(n_iter=2, k=32)
+    + """, af AS (
+  SELECT vec_id, e, nrm, cell FROM (
+    SELECT v.vec_id, v.e, v.nrm, kk.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, kk.c) / (v.nrm * kk.cn) DESC, kk.cell) AS rn
+    FROM v CROSS JOIN k2 kk) t WHERE rn = 1
+)
+SELECT l.vec_id, l.cell, count(r.vec_id) AS n_dups, count(r.vec_id) > 0 AS is_dup
+FROM af l LEFT JOIN af r
+  ON l.cell = r.cell AND r.vec_id < l.vec_id
+ AND list_dot_product(l.e, r.e) / (l.nrm * r.nrm) >= 0.95
+GROUP BY 1, 2
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup-within-cluster): k-means with k=32,
+    then flag vectors with a lower-id same-cell neighbor at cosine >= 0.95.
+    Every non-degenerate vector gets a total (n_dups, is_dup) decision; the
+    pair search never crosses a cell boundary."""
+    from arroyo_spark.operators.kmeans import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, k=32, n_iter=2, threshold=0.95, dim=64)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
