@@ -30,6 +30,7 @@ from arroyo_spark.operators.kmeans import (  # noqa: F401
 )
 from arroyo_spark.operators.corpus import (  # noqa: F401
     deterministic_shuffle,
+    domain_mix_sample,
     hash_bucket,
     hash_sample,
     ngram_decontaminate,

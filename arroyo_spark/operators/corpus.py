@@ -81,6 +81,48 @@ def stratified_sample(
     return df.filter(hash_bucket(key_col, n_buckets, salt) < thr)
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+    default_target: float = 0.0,
+    salt: str = "",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Corpus mixing to a TARGET WEIGHT BUDGET per stratum (the daily
+    pretraining op: "give me ~5B tokens of en, ~3B of code, ...").
+
+    ``stratified_sample`` needs the caller to know the rates; this derives
+    them: rate_s = min(1, target_s / actual_s) where actual_s is the
+    measured per-stratum weight sum — downsampling strata that exceed
+    their budget, keeping under-budget strata whole. The kept rows'
+    expected weight per stratum is min(target_s, actual_s).
+
+    Fully declarative — no driver action: the per-stratum sums come from
+    one partial-agg'd groupBy (strata cardinality is tiny), join back as a
+    BROADCAST, and the keep decision is the same deterministic md5-bucket
+    predicate as hash_sample, so the mix is replay/retry/engine-stable and
+    re-mixes with a larger budget NEST the smaller mix. Weight sums are
+    INTEGER (token/char counts), so actual_s is exact and order-independent
+    — the derived thresholds are bit-reproducible.
+    """
+    actual = df.groupBy(strata_col).agg(F.sum(weight_col).alias("_actual"))
+    tgt: Column = F.lit(float(default_target))
+    for value, t in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == F.lit(value), F.lit(float(t))).otherwise(tgt)
+    thr = F.least(
+        F.lit(n_buckets).cast("long"),
+        F.floor(F.lit(float(n_buckets)) * tgt / F.col("_actual")),
+    )
+    return (
+        df.join(F.broadcast(actual), strata_col)
+        .filter(hash_bucket(key_col, n_buckets, salt).cast("long") < thr)
+        .drop("_actual")
+    )
+
+
 def ngram_decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -1989,6 +1989,37 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "domain_mix_sample",
+    """
+WITH actual AS (SELECT lang, sum(n_chars) AS a FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN actual USING (lang)
+WHERE ('0x' || substring(md5('dm1' || cast(doc_id AS varchar)), 1, 15))::bigint % 10000
+  < least(10000, cast(floor(10000.0 *
+      (CASE lang WHEN 'en' THEN 20000.0 WHEN 'zh' THEN 999999.0
+                 WHEN 'de' THEN 10000.0 ELSE 5000.0 END) / a) AS bigint))
+""",
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to a char-budget per language: rates are DERIVED from
+    the measured per-lang char sums (downsample over-budget strata, keep
+    under-budget whole), then applied as the deterministic md5-bucket
+    predicate. One broadcast join of #strata rows; no driver action."""
+    from arroyo_spark.operators.corpus import domain_mix_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mix_sample(
+        d,
+        "lang",
+        "doc_id",
+        "n_chars",
+        targets={"en": 20000.0, "zh": 999999.0, "de": 10000.0},
+        default_target=5000.0,
+        salt="dm1",
+    ).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic distributed k-means + SemDeDup semantic dedup
 # (operators/kmeans.py). The oracle UNROLLS Lloyd's iterations as a CTE

@@ -175,3 +175,35 @@ def test_deterministic_shuffle_is_exact_global_rank(spark):
     assert sorted(got.values()) == list(range(500))  # a true permutation
     # original columns survive
     assert set(out.columns) == {"k", "shuffle_rank"}
+
+
+def test_domain_mix_sample_budget_and_nesting(spark):
+    from arroyo_spark.operators.corpus import domain_mix_sample, hash_bucket
+
+    rows = [(i, "big", 100) for i in range(200)]  # actual = 20000
+    rows += [(1000 + i, "small", 100) for i in range(10)]  # actual = 1000
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = domain_mix_sample(
+        df, "lang", "doc_id", "n_chars",
+        targets={"big": 5000.0, "small": 5000.0}, salt="t",
+    )
+    got = {r.doc_id for r in out.collect()}
+    # under-budget stratum kept WHOLE (threshold saturates at n_buckets)
+    assert {1000 + i for i in range(10)} <= got
+    # over-budget stratum filtered by the exact derived threshold:
+    # floor(10000 * 5000 / 20000) = 2500 buckets of 10000
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", hash_bucket("doc_id", salt="t").alias("b")).collect()
+    }
+    expect_big = {i for i in range(200) if buckets[i] < 2500}
+    assert got - {1000 + i for i in range(10)} == expect_big
+    # a larger budget NESTS the smaller mix
+    bigger = {
+        r.doc_id
+        for r in domain_mix_sample(
+            df, "lang", "doc_id", "n_chars",
+            targets={"big": 10000.0, "small": 5000.0}, salt="t",
+        ).collect()
+    }
+    assert got <= bigger
