@@ -98,3 +98,129 @@ def approx_quantiles(
         value_col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy)
     ).alias("approx_quantiles")
     return df.groupBy(*[F.col(k) for k in keys]).agg(agg) if keys else df.agg(agg)
+
+
+def topk_rollup(
+    df: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    m: int = 20,
+) -> DataFrame:
+    """Mergeable heavy-hitters rollup with PROVABLE bounds — the frequent-
+    items companion to ``sketch_rollup``, and unlike HLL it is pure
+    relational algebra (exact integer counts), so it is hash-exact
+    oracle-checkable.
+
+    Per time bucket: exact item counts (one partial-agg'd groupBy), keep
+    the top ``m`` (count DESC, item ASC ties), and record the bucket's
+    threshold ``thr`` = the (m+1)-th count (0 if the bucket has <= m
+    items). Every dropped item's in-bucket count is <= thr by
+    construction — that inequality is what makes the summaries mergeable
+    with bounds. Output: (bucket_start, item, cnt, thr) — O(m) rows per
+    bucket regardless of item cardinality.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(
+        F.window(ts_col, bucket).alias("_win"), F.col(item_col)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("_win").orderBy(F.col("cnt").desc(), F.col(item_col))
+    ranked = counts.withColumn("_rk", F.row_number().over(w))
+    thr = ranked.filter(F.col("_rk") == m + 1).select(
+        "_win", F.col("cnt").alias("thr")
+    )
+    return (
+        ranked.filter(F.col("_rk") <= m)
+        .join(F.broadcast(thr), "_win", "left")
+        .select(
+            F.col("_win.start").alias("bucket_start"),
+            item_col,
+            "cnt",
+            F.coalesce(F.col("thr"), F.lit(0)).cast("long").alias("thr"),
+        )
+    )
+
+
+def topk_merge(rollup: DataFrame, item_col: str) -> DataFrame:
+    """Merge ``topk_rollup`` summaries over any bucket range into
+    per-item count BOUNDS:
+
+      lb = sum of the item's kept counts (it may be under-counted only in
+           buckets that dropped it);
+      ub = lb + sum(thr of buckets where the item was NOT kept)
+         = lb + (all buckets' thr) - (thr of buckets where it was kept).
+
+    Guarantee: lb <= true count <= ub, and any item whose true total
+    exceeds sum(all thr) is PRESENT in the output (it must have made some
+    bucket's top-m). With m >= per-bucket cardinality every thr is 0 and
+    lb = ub = exact. The merge shuffles only (item, counts) pairs; the
+    scalar total joins back as a broadcast of one row.
+    """
+    per_bucket_thr = rollup.groupBy("bucket_start").agg(F.max("thr").alias("_t"))
+    total = per_bucket_thr.agg(F.sum("_t").alias("_all_thr"))
+    per_item = rollup.groupBy(item_col).agg(
+        F.sum("cnt").alias("lb"), F.sum("thr").alias("_present_thr")
+    )
+    return per_item.join(F.broadcast(total)).select(
+        item_col,
+        F.col("lb").cast("long").alias("lb"),
+        (F.col("lb") + F.col("_all_thr") - F.col("_present_thr"))
+        .cast("long")
+        .alias("ub"),
+    )
+
+
+def sampled_quantile_rollup(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    fraction: float = 0.25,
+    salt: str = "",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic sampled quantile rollup: per time bucket, store the
+    SORTED value array of a hash-sampled subset of rows.
+
+    The merge-losslessness is free by construction: a hash sample commutes
+    with any partitioning (a row's survival depends only on its key), so
+    the union of per-bucket samples IS the sample of the union — merging
+    rollups loses nothing relative to sampling the raw range directly,
+    and the whole path is bit-reproducible (no reservoir/rand()). Storage
+    per bucket is O(fraction * rows); tune fraction per retention tier.
+    """
+    from arroyo_spark.operators.corpus import hash_bucket
+
+    thr = int(round(fraction * n_buckets))
+    return (
+        df.filter(hash_bucket(key_col, n_buckets, salt) < thr)
+        .groupBy(F.window(ts_col, bucket).alias("_win"))
+        .agg(
+            F.array_sort(F.collect_list(F.col(value_col).cast("double"))).alias("vals"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+        .select(F.col("_win.start").alias("bucket_start"), "vals", "n_sampled")
+    )
+
+
+def sampled_quantile_merge(rollup: DataFrame, quantiles: list[float]) -> DataFrame:
+    """Merge sampled rollups over any bucket range and read off quantiles
+    (lower-index method: est = sorted[floor(q * (n - 1))], 0-based) —
+    deterministic, and equal to computing directly on the hash-sampled
+    raw rows, which is exactly what the oracle twin does."""
+    merged = rollup.agg(F.array_sort(F.flatten(F.collect_list("vals"))).alias("_all"))
+    picks = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.element_at(
+                "_all",
+                (F.floor(F.lit(q) * (F.size("_all") - 1)) + 1).cast("int"),
+            ).alias("est"),
+        )
+        for q in quantiles
+    ]
+    return merged.select(F.explode(F.array(*picks)).alias("_r")).select(
+        "_r.q", "_r.est"
+    )

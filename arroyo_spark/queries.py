@@ -1990,6 +1990,70 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_rollup_merge",
+    """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY b ORDER BY cnt DESC, user_id) AS rk
+  FROM counts
+), thr AS (
+  SELECT b, cnt AS thr FROM ranked WHERE rk = 6
+), kept AS (
+  SELECT r.b, r.user_id, r.cnt, coalesce(t.thr, 0) AS thr
+  FROM ranked r LEFT JOIN thr t USING (b) WHERE r.rk <= 5
+), tot AS (
+  SELECT sum(t) AS all_thr FROM (SELECT b, max(thr) AS t FROM kept GROUP BY 1)
+)
+SELECT user_id, cast(sum(cnt) AS bigint) AS lb,
+       cast(sum(cnt) + (SELECT all_thr FROM tot) - sum(thr) AS bigint) AS ub
+FROM kept GROUP BY 1
+""",
+)
+def q_topk_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users: per-hour exact top-5 summaries (O(m) rows per
+    bucket regardless of user cardinality) merged into global [lb, ub]
+    count bounds. Pure relational sketch — integer counts make it the
+    hash-exact-checkable member of the sketch family."""
+    from arroyo_spark.operators.sketch import topk_merge, topk_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    return topk_merge(topk_rollup(e, "user_id", m=5), "user_id")
+
+
+@query(
+    "sampled_quantile_rollup",
+    """
+WITH s AS (
+  SELECT value::DOUBLE AS v FROM events
+  WHERE ('0x' || substring(md5('sq1' || cast(event_id AS varchar)), 1, 15))::bigint
+        % 10000 < 2500
+    AND value IS NOT NULL
+), a AS (SELECT list(v ORDER BY v) AS arr FROM s)
+SELECT t.q, arr[cast(floor(t.q * (len(arr) - 1)) AS int) + 1] AS est
+FROM a, (SELECT unnest([0.1, 0.5, 0.9, 0.99]::DOUBLE[]) AS q) t
+""",
+)
+def q_sampled_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour deterministic hash-sampled value arrays, merged over all
+    buckets, quantiles read off the merged sample. The oracle computes the
+    SAME quantiles directly on the hash-sampled raw rows — equality proves
+    the rollup->merge path is lossless (hash sampling commutes with
+    bucketing), which a reservoir/rand() sample could never certify."""
+    from arroyo_spark.operators.sketch import (
+        sampled_quantile_merge,
+        sampled_quantile_rollup,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    r = sampled_quantile_rollup(
+        e, "event_id", "value", fraction=0.25, salt="sq1"
+    )
+    return sampled_quantile_merge(r, [0.1, 0.5, 0.9, 0.99])
+
+
+@query(
     "domain_mix_sample",
     """
 WITH actual AS (SELECT lang, sum(n_chars) AS a FROM documents GROUP BY 1)
