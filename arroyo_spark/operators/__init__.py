@@ -34,6 +34,7 @@ from arroyo_spark.operators.corpus import (  # noqa: F401
     hash_bucket,
     hash_sample,
     ngram_decontaminate,
+    ngram_repetition,
     pack_sequences,
     stratified_sample,
 )

@@ -81,6 +81,32 @@ def stratified_sample(
     return df.filter(hash_bucket(key_col, n_buckets, salt) < thr)
 
 
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document n-gram repetition ratio — the Gopher/C4 quality
+    signal for machine-generated or boilerplate-heavy text: ratio =
+    1 - distinct_ngrams / total_ngrams over the doc's own word n-grams.
+
+    Pure per-row JVM column expressions (tokens materialized once,
+    shingles + array_distinct in one projection — no shuffle, no Python);
+    docs with fewer than ``n`` tokens have no n-grams and are excluded,
+    matching the shingle family's contract. Returns
+    (id, n_ngrams, repeat_ratio)."""
+    from arroyo_spark.functions.text import word_tokens
+    from arroyo_spark.operators.dedup import shingles_of_tokens
+
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_t"))
+    ng = toks.select(F.col(id_col), shingles_of_tokens(F.col("_t"), n).alias("_ng"))
+    return ng.filter(F.size("_ng") > 0).select(
+        F.col(id_col),
+        F.size("_ng").cast("long").alias("n_ngrams"),
+        (F.lit(1.0) - F.size(F.array_distinct("_ng")) / F.size("_ng")).alias(
+            "repeat_ratio"
+        ),
+    )
+
+
 def domain_mix_sample(
     df: DataFrame,
     strata_col: str,

@@ -362,9 +362,12 @@ def ivf_ann_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     dim: int | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize into ``n_cells`` cells, search the
-    query's ``n_probe`` closest cells only.
+    query's ``n_probe`` closest cells only. Pass ``centroids`` (a
+    ``train_kmeans`` result) to use a TRAINED coarse quantizer — the plan
+    is identical, only the broadcast centroid row changes.
 
     The coarse quantizer is deterministic and training-free: the ``n_cells``
     LOWEST-id vectors act as (spherical) centroids — rank-based selection
@@ -415,7 +418,16 @@ def ivf_ann_topk(
     # expression). Every executor scores all K cells per row inside one
     # projection. Rank-based selection (lowest n_cells ids) keeps
     # sparse/offset id spaces yielding exactly n_cells centroids.
-    cent_rows = v.orderBy("_id").limit(n_cells).collect()
+    if centroids is not None:
+        # trained coarse quantizer (operators/kmeans.py::train_kmeans):
+        # same plan, better cell balance/recall — the centroids are just a
+        # different single broadcast row; cell ids are the kmeans cells
+        cent_rows = [
+            {"_id": int(c.cell), "_vec": list(c.vec), "_norm": float(c.norm)}
+            for c in centroids
+        ]
+    else:
+        cent_rows = v.orderBy("_id").limit(n_cells).collect()
     cents = df.sparkSession.createDataFrame(
         [(
             [r["_id"] for r in cent_rows],

@@ -1990,6 +1990,25 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_repetition",
+    _SHINGLES_SQL
+    + """
+SELECT doc_id, count(*) AS n_ngrams,
+       1 - count(DISTINCT shingle) / count(*) AS repeat_ratio
+FROM sh GROUP BY 1
+""",
+)
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition signal: 1 - distinct/total 3-gram shingles per
+    document — one JVM projection, no shuffle (the oracle aggregates the
+    exploded shingles; the engine never explodes)."""
+    from arroyo_spark.operators.corpus import ngram_repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_repetition(d, "doc_id", "text", n=3)
+
+
+@query(
     "topk_rollup_merge",
     """
 WITH counts AS (

@@ -207,3 +207,22 @@ def test_domain_mix_sample_budget_and_nesting(spark):
         ).collect()
     }
     assert got <= bigger
+
+
+def test_ngram_repetition_ratio(spark):
+    from arroyo_spark.operators.corpus import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),     # 7 shingles, 3 distinct
+            (2, "w x y z"),               # 2 shingles, 2 distinct
+            (3, "one two"),               # < 3 tokens: excluded
+            (4, ""),                      # empty: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_ngrams, r.repeat_ratio) for r in
+           ngram_repetition(df, "doc_id", "text").collect()}
+    assert got[1] == (7, 1 - 3 / 7)
+    assert got[2] == (2, 0.0)
+    assert set(got) == {1, 2}

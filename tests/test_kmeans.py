@@ -128,3 +128,21 @@ def test_semantic_dedup_flags_planted_duplicates(spark):
     assert len(got) == len(rows) - 1  # zero vector excluded
     dup_count = sum(1 for n, d in got.values() if d)
     assert dup_count == 2  # only the planted exact dups cross 0.9999
+
+
+def test_ivf_with_trained_centroids(spark, vecs):
+    from arroyo_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    cents = train_kmeans(vecs, k=3, n_iter=3, dim=4)
+    out = ivf_ann_topk(vecs, k=2, n_probe=1, dim=4, centroids=cents)
+    got = out.collect()
+    assert got and all(1 <= r.rank <= 2 for r in got)
+    # with well-separated clusters and a trained quantizer, 1-probe IVF
+    # recovers the exact brute-force top-1 for every query
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(vecs, k=1, dim=4).collect()
+    }
+    ivf_top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    agree = sum(1 for q, n in ivf_top1.items() if exact.get(q) == n)
+    assert agree / len(ivf_top1) == 1.0
