@@ -88,22 +88,41 @@ def ngram_repetition(
     signal for machine-generated or boilerplate-heavy text: ratio =
     1 - distinct_ngrams / total_ngrams over the doc's own word n-grams.
 
-    Pure per-row JVM column expressions (tokens materialized once,
-    shingles + array_distinct in one projection — no shuffle, no Python);
-    docs with fewer than ``n`` tokens have no n-grams and are excluded,
-    matching the shingle family's contract. Returns
-    (id, n_ngrams, repeat_ratio)."""
+    Pure per-row JVM expressions, no shuffle, no Python — with one
+    subtlety: Catalyst COLLAPSES chained projections, so naively
+    referencing the shingle array three times (filter + distinct + size)
+    would inline the whole tokenize+shingle tree per reference (~6x the
+    work; measured 15.5s vs 1.1s at sf0.1). The shingle array is instead
+    computed ONCE inside an ``explode(transform(array(ng), a -> struct))``
+    — the lambda variable is a let-binding and the Generate node's output
+    is a real attribute Catalyst will not re-derive. Docs with fewer than
+    ``n`` tokens have no n-grams and are excluded, matching the shingle
+    family's contract. Returns (id, n_ngrams, repeat_ratio)."""
     from arroyo_spark.functions.text import word_tokens
     from arroyo_spark.operators.dedup import shingles_of_tokens
 
     toks = df.select(F.col(id_col), word_tokens(text_col).alias("_t"))
-    ng = toks.select(F.col(id_col), shingles_of_tokens(F.col("_t"), n).alias("_ng"))
-    return ng.filter(F.size("_ng") > 0).select(
-        F.col(id_col),
-        F.size("_ng").cast("long").alias("n_ngrams"),
-        (F.lit(1.0) - F.size(F.array_distinct("_ng")) / F.size("_ng")).alias(
-            "repeat_ratio"
-        ),
+    ng = shingles_of_tokens(F.col("_t"), n)
+    stats = F.explode(
+        F.transform(
+            F.array(ng),
+            lambda a: F.struct(
+                F.size(a).cast("long").alias("n_ngrams"),
+                # the size==0 guard runs INSIDE the lambda: ANSI mode makes
+                # x/0 an error, and rows are only filtered downstream
+                F.when(
+                    F.size(a) > 0,
+                    F.lit(1.0) - F.size(F.array_distinct(a)) / F.size(a),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("repeat_ratio"),
+            ),
+        )
+    )
+    return (
+        toks.select(F.col(id_col), stats.alias("_s"))
+        .filter(F.col("_s.n_ngrams") > 0)
+        .select(id_col, "_s.n_ngrams", "_s.repeat_ratio")
     )
 
 
