@@ -175,6 +175,7 @@ def ngram_decontaminate(
     text_col: str,
     shingle_n: int = 3,
     min_overlap: int = 3,
+    frac_threshold: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs that share >=
     min_overlap distinct word n-grams with ANY benchmark document.
@@ -186,11 +187,48 @@ def ngram_decontaminate(
     the 10^9-doc train side streams map-side through one broadcast
     semi-join + one partial-aggregating count, shuffling only (id, n_hits)
     pairs. Returns every train row's decision: (id, n_hits, contaminated).
+
+    ``frac_threshold``: an absolute hit count is not scale-robust — a
+    growing benchmark suite inflates everyone's n_hits until the floor
+    flags the whole corpus. When set, contamination additionally requires
+    ``n_hits >= frac_threshold * n_shingles(doc)`` (the fraction-of-doc
+    criterion from public LM decontamination write-ups). The per-doc
+    shingle count rides the SAME shuffle as the hit count (one broadcast
+    left join + one groupBy), so the scale shape is unchanged.
     """
     from arroyo_spark.operators.dedup import _shingle_rows
 
     bench_sh = _shingle_rows(bench, id_col, text_col, shingle_n).select("shingle").distinct()
     train_sh = _shingle_rows(train, id_col, text_col, shingle_n).distinct()
+    if frac_threshold is not None:
+        hits = (
+            train_sh.join(
+                F.broadcast(bench_sh.withColumn("_b", F.lit(1))), "shingle", "left"
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("_n_sh"),
+                F.count("_b").alias("n_hits"),
+            )
+        )
+        return (
+            train.select(id_col)
+            .join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+                F.coalesce(F.col("_n_sh"), F.lit(0)).cast("long").alias("_n_sh"),
+            )
+            .withColumn(
+                "contaminated",
+                (F.col("n_hits") >= F.lit(min_overlap))
+                & (
+                    F.col("n_hits").cast("double")
+                    >= F.lit(float(frac_threshold)) * F.col("_n_sh").cast("double")
+                ),
+            )
+            .drop("_n_sh")
+        )
     hits = (
         train_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)

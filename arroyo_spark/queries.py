@@ -2212,6 +2212,98 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, k=32, n_iter=2, threshold=0.95, dim=64)
 
 
+@query(
+    "curation_pipeline",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM norm GROUP BY nt
+), kept AS (
+  SELECT d.doc_id, d.text, d.lang,
+    ('0x' || substring(md5('bench' || cast(d.doc_id AS varchar)), 1, 15))::bigint
+      % 10000 < 500 AS is_bench
+  FROM documents d JOIN keepers USING (doc_id)
+), ktoks AS (
+  SELECT k.doc_id, string_split(n.nt, ' ') AS t
+  FROM kept k JOIN norm n USING (doc_id) WHERE n.nt <> ''
+), ksh AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM ktoks WHERE len(t) >= 3
+), bench_sh AS (
+  SELECT DISTINCT shingle FROM ksh JOIN kept USING (doc_id) WHERE is_bench
+), train_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM ksh JOIN kept USING (doc_id) WHERE NOT is_bench
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM train_sh JOIN bench_sh USING (shingle)
+  GROUP BY 1
+), clean AS (
+  SELECT k.doc_id, k.lang
+  FROM kept k LEFT JOIN hits h USING (doc_id)
+  WHERE NOT k.is_bench AND coalesce(h.n_hits, 0) < 3
+), mixed AS (
+  SELECT doc_id, lang FROM clean
+  WHERE ('0x' || substring(md5('mixp' || cast(doc_id AS varchar)), 1, 15))::bigint
+        % 10000
+    < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000 ELSE 2500 END
+)
+SELECT doc_id, lang,
+  cast(row_number() OVER (
+    ORDER BY ('0x' || substring(md5('ordp' || cast(doc_id AS varchar)), 1, 15))::bigint,
+             doc_id) - 1 AS bigint) AS shuffle_rank
+FROM mixed
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — the ops a 100 TB pretraining-data run
+    chains daily, as ONE declarative plan: exact dedup (keep lowest id)
+    -> n-gram benchmark decontamination (vs a deterministic 5% hash
+    slice) -> stratified language mix -> deterministic global shuffle
+    rank. Every stage is individually hash-certified; this query proves
+    they COMPOSE and stay bit-reproducible end-to-end (the oracle chains
+    the same CTEs). No stage collects; the only driver-visible values are
+    plan literals."""
+    from arroyo_spark.operators.corpus import (
+        deterministic_shuffle,
+        hash_bucket,
+        ngram_decontaminate,
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    keepers = (
+        d.select("doc_id", normalize_text("text").alias("_nt"))
+        .groupBy("_nt")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # stage the keep-id set (the embedding_dup_pairs pattern): the DAG is
+    # diamond-shaped (train shingles + bench shingles + the clean join all
+    # descend from kept), and without staging the dedup agg + regex
+    # normalization re-run once per branch (measured 6.6s -> 3.9s at
+    # sf0.1). Ids only — O(corpus) rows but a single slim column
+    keepers = keepers.localCheckpoint(eager=False)
+    kept = d.join(keepers, "doc_id")
+    is_bench = hash_bucket("doc_id", salt="bench") < 500
+    train, bench = kept.filter(~is_bench), kept.filter(is_bench)
+    decisions = ngram_decontaminate(train, bench, "doc_id", "text", min_overlap=3)
+    clean = train.join(
+        decisions.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    ).select("doc_id", "lang")
+    mixed = stratified_sample(
+        clean, "lang", "doc_id",
+        rates={"en": 0.50, "zh": 1.0}, default_rate=0.25, salt="mixp",
+    )
+    return deterministic_shuffle(mixed, "doc_id", salt="ordp", n_shards=32).select(
+        "doc_id", "lang", "shuffle_rank"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -157,6 +157,45 @@ def test_ngram_decontaminate_flags_overlap(spark):
     assert len(out) == 4  # every train row gets a decision
 
 
+def test_ngram_decontaminate_frac_threshold(spark):
+    from arroyo_spark.operators.corpus import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # 6 shingles, 4 hits -> frac 0.667: above both floors
+            (1, "the quick brown fox jumps over a fence"),
+            # long doc sharing the same 4 shingles among 17 -> frac 0.235:
+            # passes the absolute floor but NOT the 0.5 fraction criterion
+            (2, "the quick brown fox jumps over a fence and then runs far away into the deep dark woods"),
+            (3, "completely different words entirely"),  # 0 hits
+            (4, ""),  # no shingles: n_hits 0, frac undefined -> clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in ngram_decontaminate(
+            train, bench, "doc_id", "text", min_overlap=2, frac_threshold=0.5
+        ).collect()
+    }
+    assert out[1] == (4, True)
+    assert out[2][0] == 4 and out[2][1] is False  # frac gate rejects
+    assert out[3] == (0, False) and out[4] == (0, False)
+    assert len(out) == 4
+    # with the fraction gate off, the long doc IS flagged — the knob is live
+    base = {
+        r.doc_id: r.contaminated
+        for r in ngram_decontaminate(
+            train, bench, "doc_id", "text", min_overlap=2
+        ).collect()
+    }
+    assert base[2] is True
+
+
 def test_deterministic_shuffle_is_exact_global_rank(spark):
     from arroyo_spark.operators.corpus import deterministic_shuffle
     from arroyo_spark.operators.dedup import md5_hash64
