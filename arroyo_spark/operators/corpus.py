@@ -245,6 +245,133 @@ def ngram_decontaminate(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, span_n: int = 6, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span fraction — the corpus-level signal
+    behind exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", arXiv 2107.06499): for each doc, what
+    fraction of its distinct ``span_n``-word windows also appear in at
+    least ``min_docs`` documents (itself included)?
+
+    Where suffix-array ExactSubstr removes the duplicated bytes, this
+    surfaces the same signal declaratively so a curation pipeline can
+    filter/score on it: dup_frac == 1.0 is an exact/near dup, high
+    fractions are template families, ~0 is unique prose.
+
+    Scale shape (10^9 docs): spans are hashed to 60 bits IN the explode
+    projection, so every shuffle carries (id, int64) pairs — never span
+    text. distinct() partial-aggregates map-side; the span-frequency
+    groupBy and the stats join both hash-partition on the span hash, so
+    Catalyst reuses one exchange for them. Per-doc output rides one final
+    (id)-keyed partial agg. Like the shingle family, docs with fewer than
+    ``span_n`` tokens have no windows and are excluded.
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) with n_spans counting
+    DISTINCT spans (multiplicity within a doc is ngram_repetition's job).
+    """
+    from arroyo_spark.operators.dedup import _shingle_rows
+
+    sh = (
+        _shingle_rows(df, id_col, text_col, span_n)
+        .select(F.col(id_col), md5_hash64(F.col("shingle")).alias("_sh"))
+        .distinct()
+    )
+    freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_docs"))
+    return (
+        sh.join(freq, "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_docs") >= min_docs).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+    )
+
+
+def strip_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_line_chars: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated-line removal — the RefinedWeb/CCNet
+    boilerplate pass: drop every line that occurs (as an exact string) in
+    >= ``min_docs`` documents, then reassemble each document from its
+    surviving lines in original order.
+
+    Distinct from ``strip_boilerplate`` (per-doc marker heuristics): here
+    the corpus itself defines boilerplate by frequency — nav bars, cookie
+    banners, license footers fall out without a marker list. Lines shorter
+    than ``min_line_chars`` (e.g. blank lines) are never counted or
+    removed; they are structure, not boilerplate.
+
+    Scale shape (10^9 docs): the frequency side reduces each line to a
+    60-bit hash before any shuffle — distinct (id, hash) pairs partial-agg
+    map-side, then one count per hash. The flagged-hash set (lines in
+    >= min_docs docs) is SMALL by construction — boilerplate is the head
+    of the line-frequency distribution — so the anti-join's build side is
+    broadcast-friendly and AQE will pick that; ineligible lines carry a
+    NULL join key, which a left_anti join keeps by definition (no match),
+    so they bypass the probe entirely. The rebuild is one (id)-keyed
+    shuffle carrying surviving (pos, line) pairs — O(kept corpus), the
+    unavoidable payload since the operator's OUTPUT is the rebuilt text.
+
+    Returns every input row: (id, text, n_lines_kept, n_lines_removed) —
+    a doc whose every line is boilerplate comes back with text '' rather
+    than vanishing (the caller decides whether to drop empties).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn(
+        "_lh",
+        F.when(
+            F.length("_line") >= min_line_chars, md5_hash64(F.col("_line"))
+        ),
+    )
+    flagged = (
+        lines.filter(F.col("_lh").isNotNull())
+        .select(id_col, "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_lh")
+    )
+    kept = lines.join(flagged, "_lh", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_a"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform("_a", lambda s: s["_line"])
+            ).alias("_text"),
+            F.size("_a").cast("long").alias("n_lines_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_n_total"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, salt: str = "", n_shards: int = 64
 ) -> DataFrame:

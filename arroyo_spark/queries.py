@@ -2304,6 +2304,109 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "duplicate_span_stats",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(nt, ' ') AS t FROM norm WHERE nt <> ''
+), sh AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substring(md5(span), 1, 15))::bigint AS shh
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len(t) - 5, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             || ' ' || t[i+4] || ' ' || t[i+5])) AS span
+    FROM toks WHERE len(t) >= 6
+  )
+), freq AS (
+  SELECT shh, count(*) AS docs FROM sh GROUP BY 1
+)
+SELECT s.doc_id, cast(count(*) AS bigint) AS n_spans,
+  cast(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup_spans,
+  cast(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS double)
+    / cast(count(*) AS double) AS dup_frac
+FROM sh s JOIN freq f USING (shh) GROUP BY 1
+""",
+)
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal (Lee et al. 2107.06499) expressed
+    declaratively: per doc, the fraction of its distinct 6-word spans that
+    occur in >= 2 documents. Spans shuffle as 60-bit hashes, never text;
+    the frequency groupBy and the stats join share one exchange."""
+    from arroyo_spark.operators.corpus import duplicate_span_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", span_n=6, min_docs=2)
+
+
+@query(
+    "strip_duplicate_lines",
+    """
+WITH raw AS (
+  SELECT doc_id, concat_ws(chr(10),
+    array_to_string((string_split(text, ' '))[1:8], ' '),
+    array_to_string((string_split(text, ' '))[9:], ' '),
+    CASE WHEN doc_id % 3 = 0 THEN 'Visit our homepage for more articles' END,
+    '(c) 2024 ExampleCorp footer') AS t
+  FROM documents
+), ls AS (
+  SELECT doc_id, string_split(t, chr(10)) AS arr FROM raw
+), lines AS (
+  SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+  FROM ls
+), flagged AS (
+  SELECT line
+  FROM (SELECT DISTINCT doc_id, line FROM lines WHERE length(line) >= 2)
+  GROUP BY line HAVING count(*) >= 3
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE length(line) < 2 OR line NOT IN (SELECT line FROM flagged)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT l.doc_id, coalesce(r.text, '') AS text,
+  cast(coalesce(r.n_kept, 0) AS bigint) AS n_lines_kept,
+  cast(len(l.arr) - coalesce(r.n_kept, 0) AS bigint) AS n_lines_removed
+FROM ls l LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_strip_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-line removal (the RefinedWeb/CCNet
+    boilerplate pass): documents get deterministic multi-line bodies (an
+    8-word head line, the remainder, a conditional nav line on every 3rd
+    doc, a footer on all), then every line appearing in >= 3 docs is
+    dropped corpus-wide and texts are rebuilt in order. The footer and nav
+    lines MUST vanish; natural 8-word-prefix families participate too."""
+    from arroyo_spark.operators.corpus import strip_duplicate_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    raw = F.concat_ws(
+        "\n",
+        F.array_join(F.slice(arr, 1, 8), " "),
+        F.array_join(F.slice(arr, 9, 1_000_000), " "),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("Visit our homepage for more articles")
+        ),
+        F.lit("(c) 2024 ExampleCorp footer"),
+    )
+    return strip_duplicate_lines(
+        d.select("doc_id", raw.alias("text")),
+        "doc_id",
+        "text",
+        min_docs=3,
+        min_line_chars=2,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

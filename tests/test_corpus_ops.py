@@ -265,3 +265,62 @@ def test_ngram_repetition_ratio(spark):
     assert got[1] == (7, 1 - 3 / 7)
     assert got[2] == (2, 0.0)
     assert set(got) == {1, 2}
+
+
+def test_duplicate_span_stats_fractions(spark):
+    from arroyo_spark.operators.corpus import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # spans: abcdef, bcdefg, cdefgh
+            (2, "a b c d e f x y"),   # shares only abcdef with doc 1
+            (3, "p q r s t u"),       # 1 span, unique
+            (4, "one two three"),     # < 6 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+        for r in duplicate_span_stats(df, "doc_id", "text", span_n=6).collect()
+    }
+    assert got[1] == (3, 1, 1 / 3)
+    assert got[2] == (3, 1, 1 / 3)
+    assert got[3] == (1, 0, 0.0)
+    assert set(got) == {1, 2, 3}
+    # min_docs above the corpus max: nothing is a dup
+    none = {
+        r.doc_id: r.n_dup_spans
+        for r in duplicate_span_stats(
+            df, "doc_id", "text", span_n=6, min_docs=3
+        ).collect()
+    }
+    assert set(none.values()) == {0}
+
+
+def test_strip_duplicate_lines_rebuild_and_thresholds(spark):
+    from arroyo_spark.operators.corpus import strip_duplicate_lines
+
+    footer = "copyright footer"
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\n" + footer + "\nunique beta"),
+            (2, "unique gamma\n\n" + footer),      # blank line preserved
+            (3, footer + "\n" + footer),            # doc becomes empty
+            (4, "x\nunique delta"),                 # 'x' too short to count
+            (5, "x\nunique epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_removed)
+        for r in strip_duplicate_lines(
+            df, "doc_id", "text", min_docs=2, min_line_chars=2
+        ).collect()
+    }
+    assert out[1] == ("unique alpha\nunique beta", 2, 1)
+    assert out[2] == ("unique gamma\n", 2, 1)       # blank line survives
+    assert out[3] == ("", 0, 2)                     # fully-boilerplate doc kept as ''
+    # short lines are never counted even though 'x' appears in 2 docs
+    assert out[4] == ("x\nunique delta", 2, 0)
+    assert out[5] == ("x\nunique epsilon", 2, 0)
+    assert len(out) == 5
