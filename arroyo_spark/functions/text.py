@@ -262,3 +262,92 @@ def fingerprint64(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher document-quality rule bundle (Rae et al., arXiv
+    2112.11446 §A1.1 — the preset most public pretraining pipelines run
+    verbatim) as ONE struct-valued JVM projection: word-count bounds,
+    mean-word-length window, symbol-to-word ratio (# and ...), bullet- /
+    ellipsis-line fractions, alphabetic-word fraction, and a
+    distinct-stopword floor, each surfaced as a metric AND a flag, plus
+    the AND of all flags as ``passes``.
+
+    Words are WHITESPACE tokens (not normalized ones): mean word length
+    and the symbol rules must see punctuation, per the paper. Every rule
+    is a pure column expression — no shuffle, no Python, no UDF — so the
+    filter runs map-side at scan speed and the whole bundle is
+    hash-exact-checkable against a DuckDB twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n = F.size(words).cast("long")
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(n > 0, sum_len.cast("double") / nd).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.when(n > 0, (n_hash + n_ell).cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / nd,
+    ).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / n_lines
+    )
+    lw = F.transform(words, F.lower)
+    stop_hits = sum(
+        [F.array_contains(lw, s).cast("int") for s in GOPHER_STOPWORDS],
+        F.lit(0),
+    ).cast("long")
+    f_words = (n >= min_words) & (n <= max_words)
+    f_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    f_sym = symbol_ratio <= max_symbol_ratio
+    f_bullet = bullet_frac <= max_bullet_frac
+    f_ell = ellipsis_frac <= max_ellipsis_frac
+    f_alpha = alpha_frac >= min_alpha_frac
+    f_stop = stop_hits >= min_stopword_hits
+    return F.struct(
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        (f_words & f_mwl & f_sym & f_bullet & f_ell & f_alpha & f_stop).alias(
+            "passes"
+        ),
+    )

@@ -638,3 +638,46 @@ def test_y4m_video_decode_end_to_end(spark):
                 else float(int(np.abs(fr3[f, 0] - fr3[f - 1, 0]).sum())) / 16
             )
             assert r["y_motion"] == want_motion
+
+
+def test_gopher_quality_flags_rules(spark):
+    from arroyo_spark.functions.text import gopher_quality_flags
+
+    docs = [
+        # 1: clean prose with stopwords -> passes (min_words=5 here)
+        (1, "the cat sat on the mat and that was to be all of it with ease"),
+        # 2: too few words
+        (2, "the and of"),
+        # 3: symbol-heavy (# per word > 0.1)
+        (3, "the ### cat ### sat ### mat ### and ### hat ### bat ### rat"),
+        # 4: bullet lines dominate (> 0.9 of 2 lines... use all bullets)
+        (4, "- the cat sat\n- and the mat was to be all of it here now"),
+        # 5: ellipsis endings on half the lines (> 0.3)
+        (5, "the cat sat...\nand the mat was to be all of it..."),
+        # 6: numeric words (alpha fraction < 0.8)
+        (6, "the 1 2 3 4 5 6 7 8 9 10 11 12 13 and"),
+        # 7: no stopwords at all
+        (7, "cat mat hat bat rat sat fat vat pat gnat"),
+        (8, ""),  # empty: everything degenerate, fails
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            gopher_quality_flags(
+                "text", min_words=5, min_mean_word_len=2.5
+            ).alias("q"),
+        ).select("doc_id", "q.*").collect()
+    }
+    assert out[1].passes is True
+    assert out[1].n_words == 16 and out[1].stop_hits >= 2
+    assert out[2].passes is False  # word-count floor
+    assert out[3].passes is False and out[3].symbol_ratio > 0.1
+    assert out[4].passes is False and out[4].bullet_frac == 1.0
+    assert out[5].passes is False and out[5].ellipsis_frac == 1.0
+    assert out[6].passes is False and out[6].alpha_frac < 0.8
+    assert out[7].passes is False and out[7].stop_hits == 0
+    assert out[8].passes is False and out[8].n_words == 0
+    # every metric is populated for every row (no nulls, no exclusions)
+    assert len(out) == 8
