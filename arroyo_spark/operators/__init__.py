@@ -37,6 +37,7 @@ from arroyo_spark.operators.corpus import (  # noqa: F401
     ngram_repetition,
     pack_sequences,
     stratified_sample,
+    validate_transcripts,
 )
 from arroyo_spark.operators.dedup import (  # noqa: F401
     connected_components,

@@ -448,3 +448,69 @@ def pack_sequences(
         .withColumn("pack_pos", (F.col("_excl") % budget).cast("long"))
         .drop("_excl")
     )
+
+
+def validate_transcripts(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_idx_col: str = "turn_idx",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Per-conversation structural QA: the transcript-ingest validator.
+
+    A transcripts pipeline (SFT/RLHF data prep) gates every incoming
+    conversation on structural invariants before any content filter runs:
+
+      starts_with_user  first turn's role is 'user'
+      orphan_tools      tool turns whose previous turn is neither an
+                        assistant turn nor another tool turn (a tool
+                        result with no call — allows parallel tool calls)
+      empty_turns       NULL/whitespace-only text
+      wellformed        all of the above hold AND >=1 assistant turn
+
+    One lag() window pass + one aggregation, both keyed by the
+    conversation — the groupBy reuses the window's hash partitioning
+    (grouping keys are a superset of the partition keys), so the whole
+    validator is a SINGLE exchange at any corpus size. ``partition_by``
+    lets callers window/group by a raw upstream key that is 1:1 with
+    ``key`` (e.g. the user_id the transcript derivation already
+    partitioned by) to reuse that exchange too.
+    """
+    part = list(partition_by) if partition_by else [key]
+    w = Window.partitionBy(*part).orderBy(*order)
+    role = F.col(role_col)
+    d = df.withColumn("_prev_role", F.lag(role).over(w))
+    group_cols = part + [key] if partition_by else [key]
+    orphan = (role == "tool") & ~F.coalesce(
+        F.col("_prev_role").isin("assistant", "tool"), F.lit(False)
+    )
+    empty = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    agg = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(role == "user", 1)).alias("n_user"),
+        F.count(F.when(role == "assistant", 1)).alias("n_assistant"),
+        F.count(F.when(role == "tool", 1)).alias("n_tool"),
+        F.count(F.when(orphan, 1)).alias("orphan_tools"),
+        F.count(F.when(empty, 1)).alias("empty_turns"),
+        (
+            F.max(
+                F.when(
+                    (F.col(turn_idx_col) == 0) & (role == "user"), 1
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("starts_with_user"),
+    )
+    out = agg.withColumn(
+        "wellformed",
+        F.col("starts_with_user")
+        & (F.col("orphan_tools") == 0)
+        & (F.col("empty_turns") == 0)
+        & (F.col("n_assistant") > 0),
+    )
+    if partition_by:
+        out = out.drop(*partition_by)
+    return out

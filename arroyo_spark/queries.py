@@ -2472,6 +2472,55 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "transcript_wellformed",
+    TRANSCRIPTS_CTE
+    + """
+, lagged AS (
+  SELECT conv_id, turn_idx, role, text,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_role
+  FROM transcripts
+)
+SELECT conv_id,
+  count(*) AS n_turns,
+  cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS bigint) AS n_user,
+  cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS bigint) AS n_assistant,
+  cast(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS bigint) AS n_tool,
+  cast(sum(CASE WHEN role = 'tool'
+    AND NOT coalesce(prev_role IN ('assistant', 'tool'), false)
+    THEN 1 ELSE 0 END) AS bigint) AS orphan_tools,
+  cast(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS bigint)
+    AS empty_turns,
+  max(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1
+    AS starts_with_user,
+  (max(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1
+   AND sum(CASE WHEN role = 'tool'
+         AND NOT coalesce(prev_role IN ('assistant', 'tool'), false)
+         THEN 1 ELSE 0 END) = 0
+   AND sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0
+   AND sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) > 0) AS wellformed
+FROM lagged
+GROUP BY conv_id
+""",
+)
+def q_transcript_wellformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-ingest structural validator: per-conversation role/tool
+    invariants (starts-with-user, no orphan tool results, no empty turns,
+    has an assistant turn) — the gate an SFT/RLHF transcripts pipeline
+    runs before any content filter. Single exchange: the lag() window and
+    the aggregation share the user_id hash partitioning the transcript
+    derivation already established."""
+    from arroyo_spark.operators import validate_transcripts
+
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
+    return validate_transcripts(
+        t,
+        key="conv_id",
+        order=("ts", "turn_idx"),
+        partition_by=["user_id"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

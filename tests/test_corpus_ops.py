@@ -324,3 +324,42 @@ def test_strip_duplicate_lines_rebuild_and_thresholds(spark):
     assert out[4] == ("x\nunique delta", 2, 0)
     assert out[5] == ("x\nunique epsilon", 2, 0)
     assert len(out) == 5
+
+
+def test_validate_transcripts_invariants(spark):
+    from arroyo_spark.operators.corpus import validate_transcripts
+
+    rows = [
+        # c1: canonical wellformed conversation (tool after assistant,
+        # then a parallel second tool turn)
+        ("c1", 0, "user", "hi", 0),
+        ("c1", 1, "assistant", "calling tool", 1),
+        ("c1", 2, "tool", "result a", 2),
+        ("c1", 3, "tool", "result b", 3),
+        ("c1", 4, "assistant", "answer", 4),
+        # c2: starts with assistant -> not wellformed
+        ("c2", 0, "assistant", "unprompted", 0),
+        ("c2", 1, "user", "ok", 1),
+        # c3: orphan tool (tool directly after user) + empty turn
+        ("c3", 0, "user", "q", 0),
+        ("c3", 1, "tool", "orphan result", 1),
+        ("c3", 2, "assistant", "   ", 2),
+        # c4: starts with user but no assistant turn at all
+        ("c4", 0, "user", "hello?", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    got = {
+        r.conv_id: r.asDict()
+        for r in validate_transcripts(df, order=("ts", "turn_idx")).collect()
+    }
+    assert got["c1"]["wellformed"] is True
+    assert got["c1"]["orphan_tools"] == 0 and got["c1"]["n_tool"] == 2
+    assert got["c2"]["wellformed"] is False
+    assert got["c2"]["starts_with_user"] is False
+    assert got["c3"]["orphan_tools"] == 1
+    assert got["c3"]["empty_turns"] == 1
+    assert got["c3"]["wellformed"] is False
+    assert got["c4"]["starts_with_user"] is True
+    assert got["c4"]["wellformed"] is False  # no assistant turn
