@@ -37,6 +37,9 @@ from arroyo_spark.operators.corpus import (  # noqa: F401
     ngram_repetition,
     pack_sequences,
     stratified_sample,
+    transcript_dedup,
+    transcript_fingerprints,
+    turn_echo_stats,
     validate_transcripts,
 )
 from arroyo_spark.operators.dedup import (  # noqa: F401

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from arroyo_spark.functions.text import normalize_text
 from arroyo_spark.operators.dedup import md5_hash64
 
 
@@ -511,6 +512,117 @@ def validate_transcripts(
         & (F.col("empty_turns") == 0)
         & (F.col("n_assistant") > 0),
     )
+    if partition_by:
+        out = out.drop(*partition_by)
+    return out
+
+
+def transcript_fingerprints(
+    df: DataFrame,
+    key: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-sensitive per-conversation fingerprint: (key, conv_fp, n_turns).
+
+    Each turn hashes to a 60-bit fp over (role, normalized text); the
+    conversation fp is the hash of the comma-joined per-turn fps in turn
+    order — so two conversations collide iff they have the same turns in
+    the same order (swapping two turns changes the fp; dedup_exact's
+    bag-of-text normalization would not see the difference).
+
+    Scale shape (10^12 turns): the per-turn projection is map-side; the
+    only shuffle keyed by conversation carries (key, turn_idx, fp) rows —
+    ~20 bytes/turn, never the text. collect_list state per key is
+    O(n_turns(conv)) ints, bounded by the longest conversation, not the
+    corpus. Bit-identical in DuckDB (string_agg ORDER BY turn_idx over the
+    same md5-derived int64), so the oracle gate is hash-exact.
+    """
+    tfp = md5_hash64(
+        F.concat_ws("|", F.col(role_col), normalize_text(text_col))
+    )
+    turns = df.select(F.col(key), F.col(turn_idx_col).alias("_i"), tfp.alias("_tfp"))
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_tfp").cast("string").alias("_s")))
+            ),
+            lambda x: x["_s"],
+        ),
+    )
+    return (
+        turns.groupBy(key)
+        .agg(sig.alias("_sig"), F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col(key), md5_hash64(F.col("_sig")).alias("conv_fp"), "n_turns")
+    )
+
+
+def transcript_dedup(
+    df: DataFrame,
+    key: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup: retries/resubmissions of a whole
+    conversation collapse to one keeper.
+
+    The transcript analog of ``exact_dedup`` — but at conversation
+    granularity and order-SENSITIVE (see transcript_fingerprints): an SFT
+    pipeline that dedups turn bags would merge genuinely different
+    dialogues. Returns (conv_fp, keep_conv_id, dup_count, n_turns).
+
+    Two exchanges total: one keyed by conversation (turn fps), one keyed
+    by the 64-bit conv_fp — both shuffle fixed-width rows, never text.
+    """
+    fps = transcript_fingerprints(df, key, turn_idx_col, role_col, text_col)
+    return fps.groupBy("conv_fp").agg(
+        F.min(key).alias("keep_conv_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.max("n_turns").alias("n_turns"),
+    )
+
+
+def turn_echo_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+    text_col: str = "text",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Adjacent-turn echo detection: turns whose normalized text equals
+    the previous turn's — the classic SFT-data defect where the assistant
+    parrots the user (or a retry double-writes a turn).
+
+    Per conversation: n_turns, n_echo (normalized text == previous turn's),
+    n_echo_cross (echo where the ROLE also differs — the dangerous kind:
+    one side restating the other verbatim), echo_frac, has_echo.
+
+    Same single-exchange shape as validate_transcripts: one lag() window +
+    one aggregation sharing the window's hash partitioning (pass
+    ``partition_by`` to reuse an upstream key that is 1:1 with ``key``).
+    Echo comparison is on 60-bit fps, so the window state per turn is an
+    int, not the text.
+    """
+    part = list(partition_by) if partition_by else [key]
+    w = Window.partitionBy(*part).orderBy(*order)
+    fp = md5_hash64(normalize_text(text_col))
+    d = df.withColumn("_fp", fp).withColumn(
+        "_prev_fp", F.lag(F.col("_fp")).over(w)
+    ).withColumn("_prev_role", F.lag(F.col(role_col)).over(w))
+    echo = F.col("_fp") == F.col("_prev_fp")
+    cross = echo & (F.col(role_col) != F.col("_prev_role"))
+    group_cols = part + [key] if partition_by else [key]
+    out = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(echo, 1)).alias("n_echo"),
+        F.count(F.when(cross, 1)).alias("n_echo_cross"),
+    ).withColumn(
+        "echo_frac", F.col("n_echo").cast("double") / F.col("n_turns")
+    ).withColumn("has_echo", F.col("n_echo") > 0)
     if partition_by:
         out = out.drop(*partition_by)
     return out

@@ -2521,6 +2521,103 @@ def q_transcript_wellformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "transcript_dedup",
+    TRANSCRIPTS_CTE
+    + r"""
+, with_retries AS (
+  SELECT conv_id, turn_idx, role, text FROM transcripts
+  UNION ALL
+  SELECT concat(conv_id, '-retry') AS conv_id, turn_idx, role, text
+  FROM transcripts
+  WHERE cast(substring(conv_id, 6) AS bigint) % 7 = 0
+), tf AS (
+  SELECT conv_id, turn_idx,
+    cast(('0x' || substring(md5(concat(role, '|',
+      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                          '\s+', ' ', 'g')))), 1, 15))::bigint AS bigint) AS tfp
+  FROM with_retries
+), cv AS (
+  SELECT conv_id,
+    cast(('0x' || substring(md5(
+      string_agg(cast(tfp AS varchar), ',' ORDER BY turn_idx)), 1, 15))::bigint
+      AS bigint) AS conv_fp,
+    count(*) AS n_turns
+  FROM tf GROUP BY conv_id
+)
+SELECT conv_fp, min(conv_id) AS keep_conv_id,
+       count(*) AS dup_count, max(n_turns) AS n_turns
+FROM cv GROUP BY 1
+""",
+)
+def q_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup over the transcript stream, with a
+    deterministic retry-storm injected (every 7th user's conversation is
+    resubmitted verbatim under a '-retry' conv_id — the duplicate shape a
+    real ingest sees). The order-SENSITIVE conversation fingerprint
+    (per-turn (role, normalized-text) fps, string-agg'd in turn order)
+    collapses each retry onto its original (dup_count=2, keeper = the
+    lexicographically-smaller original id) while every genuine
+    conversation survives. Shuffles carry fixed-width fp rows, never
+    turn text."""
+    from arroyo_spark.operators import transcript_dedup
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    retries = t.filter(
+        F.substring("conv_id", 6, 8).cast("long") % 7 == 0
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-retry")))
+    return transcript_dedup(t.unionAll(retries))
+
+
+@query(
+    "turn_echo_stats",
+    TRANSCRIPTS_CTE
+    + r"""
+, fps AS (
+  SELECT conv_id, role, ts, turn_idx,
+    cast(('0x' || substring(md5(
+      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                          '\s+', ' ', 'g'))), 1, 15))::bigint AS bigint) AS fp
+  FROM transcripts
+), lagged AS (
+  SELECT conv_id, role, fp,
+    lag(fp) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_fp,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_role
+  FROM fps
+)
+SELECT conv_id,
+  count(*) AS n_turns,
+  cast(sum(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END) AS bigint) AS n_echo,
+  cast(sum(CASE WHEN fp = prev_fp AND role <> prev_role THEN 1 ELSE 0 END)
+    AS bigint) AS n_echo_cross,
+  cast(sum(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END) AS double) / count(*)
+    AS echo_frac,
+  sum(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END) > 0 AS has_echo
+FROM lagged
+GROUP BY conv_id
+""",
+)
+def q_turn_echo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn echo detection over real transcripts: turns whose
+    normalized text repeats the previous turn verbatim (assistant
+    parroting the user / double-written retries — a known SFT-data
+    defect). Natural split: the synthetic event props collide often
+    enough that ~0.2% of turns echo. Single exchange: the lag() window
+    and the per-conversation aggregation share the derivation's user_id
+    hash partitioning."""
+    from arroyo_spark.operators import turn_echo_stats
+
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
+    return turn_echo_stats(
+        t,
+        key="conv_id",
+        order=("ts", "turn_idx"),
+        partition_by=["user_id"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

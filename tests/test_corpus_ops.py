@@ -363,3 +363,69 @@ def test_validate_transcripts_invariants(spark):
     assert got["c3"]["wellformed"] is False
     assert got["c4"]["starts_with_user"] is True
     assert got["c4"]["wellformed"] is False  # no assistant turn
+
+
+def test_transcript_dedup_order_sensitive(spark):
+    from arroyo_spark.operators.corpus import transcript_dedup
+
+    rows = [
+        # c1 and c1r: identical conversations (a retry) -> collapse
+        ("c1", 0, "user", "Hello there!", 0),
+        ("c1", 1, "assistant", "hi", 1),
+        ("c1r", 0, "user", "hello THERE", 0),  # normalization-equal text
+        ("c1r", 1, "assistant", "hi", 1),
+        # c2: same turn BAG as c1 but swapped order -> must NOT collapse
+        ("c2", 0, "assistant", "hi", 0),
+        ("c2", 1, "user", "hello there", 1),
+        # c3: same texts as c1 but different role on turn 1 -> distinct
+        ("c3", 0, "user", "hello there", 0),
+        ("c3", 1, "user", "hi", 1),
+        # c4: c1's turns plus one more -> distinct
+        ("c4", 0, "user", "hello there", 0),
+        ("c4", 1, "assistant", "hi", 1),
+        ("c4", 2, "user", "bye", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    got = {r.keep_conv_id: r.asDict() for r in transcript_dedup(df).collect()}
+    assert set(got) == {"c1", "c2", "c3", "c4"}
+    assert got["c1"]["dup_count"] == 2 and got["c1"]["n_turns"] == 2
+    assert got["c2"]["dup_count"] == 1
+    assert got["c3"]["dup_count"] == 1
+    assert got["c4"]["dup_count"] == 1 and got["c4"]["n_turns"] == 3
+    # fingerprints are all distinct across the four keepers
+    assert len({r["conv_fp"] for r in got.values()}) == 4
+
+
+def test_turn_echo_stats_semantics_and_plan(spark):
+    from arroyo_spark.operators.corpus import turn_echo_stats
+
+    rows = [
+        # c1: assistant parrots the user (cross-role echo), then moves on
+        ("c1", 0, "user", "Run the tests", 0),
+        ("c1", 1, "assistant", "run the tests!", 1),  # echo + cross
+        ("c1", 2, "assistant", "done", 2),
+        # c2: double-written turn (same role) -> echo but NOT cross
+        ("c2", 0, "user", "hi", 0),
+        ("c2", 1, "user", "hi", 1),
+        ("c2", 2, "assistant", "hello", 2),
+        # c3: no echoes
+        ("c3", 0, "user", "a", 0),
+        ("c3", 1, "assistant", "b", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    out = turn_echo_stats(df, order=("ts", "turn_idx"))
+    got = {r.conv_id: r.asDict() for r in out.collect()}
+    assert got["c1"]["n_echo"] == 1 and got["c1"]["n_echo_cross"] == 1
+    assert got["c1"]["has_echo"] is True
+    assert got["c2"]["n_echo"] == 1 and got["c2"]["n_echo_cross"] == 0
+    assert got["c3"]["n_echo"] == 0 and got["c3"]["has_echo"] is False
+    assert abs(got["c1"]["echo_frac"] - 1 / 3) < 1e-12
+    # lag window + per-conv agg share one hash partitioning (count only
+    # the AQE final plan: toString repeats the tree under "Initial Plan")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange hashpartitioning") == 1
