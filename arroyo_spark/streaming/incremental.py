@@ -366,3 +366,76 @@ def batch_minhash_keep_set(
         .distinct()
     )
     return df.select(id_col).distinct().join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental CONVERSATION-level dedup (transcript retries across epochs)
+# ---------------------------------------------------------------------------
+def epoch_transcript_dedup_transform(
+    sink: ExactlyOnceSink,
+    key: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+):
+    """Per-epoch conversation-level exact dedup — the streaming twin of
+    ``operators.corpus.transcript_dedup``.
+
+    Ingest shape: each epoch carries WHOLE conversations (the natural
+    retry/resubmission unit — a resubmitted conversation re-arrives as a
+    unit, e.g. downstream of a session-window close). PRECONDITION: a
+    conversation's turns must not straddle epochs, or its prefix would be
+    fingerprinted as the whole; enforce upstream with session windows or
+    a conv-complete marker.
+
+    Keep rule: first arrival wins — within an epoch the lowest ``key``,
+    across epochs the earliest committed epoch (same causal rule as
+    ``epoch_dedup_transform``; a later retry cannot retract a committed
+    keeper). Committed rows are the keeper conversations' TURN rows plus
+    ``conv_fp`` — the deduped corpus and the fingerprint history are the
+    same table, so the per-epoch store read is ONE pruned column
+    (``conv_fp``) off the compacted store; turn text never reshuffles on
+    the anti-join side.
+    """
+    from arroyo_spark.operators.corpus import transcript_fingerprints
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        fps = transcript_fingerprints(batch_df, key, turn_idx_col, role_col, text_col)
+        epoch_keep = fps.groupBy("conv_fp").agg(F.min(key).alias(key))
+        try:
+            store = sink.read_output(spark).select("conv_fp").distinct()
+        except FileNotFoundError:
+            store = None
+        if store is not None:
+            epoch_keep = epoch_keep.join(store, "conv_fp", "left_anti")
+        return batch_df.join(epoch_keep.select(key, "conv_fp"), key, "inner")
+
+    return transform
+
+
+def incremental_transcript_dedup_sink(
+    output_dir: str,
+    ledger: OffsetsLedger,
+    key: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    compact_every: int | None = 16,
+    **sink_kwargs,
+) -> ExactlyOnceSink:
+    """ExactlyOnceSink whose committed output is the deduplicated
+    transcript corpus: every committed conversation is the first-ever
+    arrival of its order-sensitive fingerprint (see
+    ``epoch_transcript_dedup_transform``)."""
+    sink = ExactlyOnceSink(
+        output_dir=output_dir,
+        ledger=ledger,
+        compact_every=compact_every,
+        compact_keys=("conv_fp",),
+        **sink_kwargs,
+    )
+    sink.transform = epoch_transcript_dedup_transform(
+        sink, key, turn_idx_col, role_col, text_col
+    )
+    return sink

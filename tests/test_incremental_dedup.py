@@ -306,3 +306,107 @@ def test_incremental_ann_equals_batch_lsh(spark, vec_stream_dir, tmp_path):
         sink, spark, corpus, k=3, n_planes=3, dim=4, max_bucket_size=None
     ).count()
     assert uncapped >= len(got)
+
+
+# ---------------------------------------------------------------------------
+# Incremental CONVERSATION-level dedup (whole-conversation epochs)
+# ---------------------------------------------------------------------------
+CONV_SCHEMA = "conv_id string, turn_idx int, role string, text string"
+
+CONV_EPOCHS = [
+    # epoch 0: two distinct convs + an in-epoch verbatim retry of c1
+    [("c1", 0, "user", "hello there"), ("c1", 1, "assistant", "hi"),
+     ("c1x", 0, "user", "Hello, THERE"), ("c1x", 1, "assistant", "hi!"),  # norm-dup of c1
+     ("c2", 0, "user", "different"), ("c2", 1, "assistant", "reply")],
+    # epoch 1: cross-epoch retry of c1 + a turn-SWAPPED variant (distinct)
+    [("c1r", 0, "user", "hello there"), ("c1r", 1, "assistant", "hi"),
+     ("c3", 0, "assistant", "hi"), ("c3", 1, "user", "hello there")],
+    # epoch 2: retry of c2 + fresh conv
+    [("c2r", 0, "user", "different"), ("c2r", 1, "assistant", "reply"),
+     ("c4", 0, "user", "brand new")],
+]
+UNIQUE_CONVS = 4  # c1, c2, c3 (order-distinct), c4
+
+
+@pytest.fixture()
+def conv_stream_dir(spark, tmp_path):
+    src = tmp_path / "convs"
+    src.mkdir()
+    for i, rows in enumerate(CONV_EPOCHS):
+        df = spark.createDataFrame(rows, CONV_SCHEMA)
+        tmp = str(tmp_path / f"_c{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / f"{i:03d}.parquet"))
+    return str(src)
+
+
+def _conv_run(spark, conv_stream_dir, out, sink):
+    proc = StreamProcessor(
+        spark=spark,
+        source=FileStreamSource(conv_stream_dir, CONV_SCHEMA, max_files_per_trigger=1),
+        sink=sink,
+        checkpoint_dir=f"{out}/ckpt",
+    )
+    proc.run_until_complete()
+
+
+def test_incremental_transcript_dedup_equals_batch(spark, conv_stream_dir, tmp_path):
+    from arroyo_spark.operators.corpus import transcript_dedup
+    from arroyo_spark.streaming.incremental import incremental_transcript_dedup_sink
+
+    out = str(tmp_path / "tstore")
+    ledger = OffsetsLedger(str(tmp_path), "tdedup")
+    sink = incremental_transcript_dedup_sink(out, ledger, text_col="text")
+    _conv_run(spark, conv_stream_dir, out, sink)
+    assert len(ledger.epochs()) == len(CONV_EPOCHS)
+
+    got = sink.read_output(spark)
+    keepers = {r["conv_id"] for r in got.select("conv_id").distinct().collect()}
+    # first arrival wins: c1 (not c1x/c1r), c2 (not c2r); c3 is order-
+    # distinct from c1 and survives
+    assert keepers == {"c1", "c2", "c3", "c4"}
+    # committed rows are the keepers' full turn rows
+    assert got.count() == sum(
+        2 if c != "c4" else 1 for c in keepers
+    )
+    # fingerprint set equals batch transcript_dedup over the whole corpus
+    corpus = spark.createDataFrame(
+        [r for ep in CONV_EPOCHS for r in ep], CONV_SCHEMA
+    )
+    batch = transcript_dedup(corpus)
+    assert batch.count() == UNIQUE_CONVS
+    got_fps = {r["conv_fp"] for r in got.select("conv_fp").distinct().collect()}
+    want = {(r["conv_fp"], r["keep_conv_id"]) for r in batch.collect()}
+    assert got_fps == {fp for fp, _ in want}
+    # and the keeper CHOICE matches batch's min-id rule (ids here are
+    # monotone with arrival, the documented precondition)
+    got_pairs = {
+        (r["conv_fp"], r["conv_id"])
+        for r in got.select("conv_fp", "conv_id").distinct().collect()
+    }
+    assert got_pairs == want
+
+
+def test_incremental_transcript_dedup_crash_restart(spark, conv_stream_dir, tmp_path):
+    from arroyo_spark.streaming.incremental import (
+        epoch_transcript_dedup_transform,
+        incremental_transcript_dedup_sink,
+    )
+
+    out = str(tmp_path / "tstore")
+    ledger = OffsetsLedger(str(tmp_path), "tdedup")
+    crash_sink = _CrashAfter(output_dir=out, ledger=ledger)
+    crash_sink.crash_after = 1
+    crash_sink.transform = epoch_transcript_dedup_transform(crash_sink)
+    with pytest.raises(Exception, match="injected crash"):
+        _conv_run(spark, conv_stream_dir, out, crash_sink)
+    assert len(ledger.epochs()) == 1
+
+    sink2 = incremental_transcript_dedup_sink(out, ledger)
+    _conv_run(spark, conv_stream_dir, out, sink2)
+    assert len(ledger.epochs()) == len(CONV_EPOCHS)
+    keepers = {
+        r["conv_id"]
+        for r in sink2.read_output(spark).select("conv_id").distinct().collect()
+    }
+    assert keepers == {"c1", "c2", "c3", "c4"}
