@@ -2572,6 +2572,70 @@ def q_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_transcript_dedup",
+    TRANSCRIPTS_CTE
+    + r"""
+, with_retries AS (
+  SELECT conv_id, turn_idx, role, text FROM transcripts
+  UNION ALL
+  SELECT concat(conv_id, '-retry') AS conv_id, turn_idx, role, text
+  FROM transcripts
+  WHERE cast(substring(conv_id, 6) AS bigint) % 7 = 0
+), tf AS (
+  SELECT conv_id, turn_idx,
+    cast(('0x' || substring(md5(concat(role, '|',
+      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                          '\s+', ' ', 'g')))), 1, 15))::bigint AS bigint) AS tfp
+  FROM with_retries
+), cv AS (
+  SELECT conv_id,
+    cast(('0x' || substring(md5(
+      string_agg(cast(tfp AS varchar), ',' ORDER BY turn_idx)), 1, 15))::bigint
+      AS bigint) AS conv_fp,
+    count(*) AS n_turns
+  FROM tf GROUP BY conv_id
+)
+SELECT conv_fp, min(conv_id) AS keep_conv_id, max(n_turns) AS n_turns
+FROM cv GROUP BY 1
+""",
+)
+def q_incremental_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-built deduped transcript corpus, batch-oracle-checked:
+    conversations arrive whole in 3 epochs (user_id mod 3) through the
+    exactly-once sink, then a 4th epoch delivers the retry storm (every
+    7th user's conversation resubmitted verbatim — arriving AFTER its
+    original, the documented first-arrival precondition). Compaction
+    fires mid-run (compact_every=2). The committed store — keeper
+    conversations' full turn rows — is summarized per keeper and must
+    equal batch ``transcript_dedup``'s keeper set over the same retried
+    corpus: a streaming composition holding a hash-exact SQL contract."""
+    import tempfile
+
+    from arroyo_spark.streaming.incremental import incremental_transcript_dedup_sink
+    from arroyo_spark.streaming.ledger import OffsetsLedger
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    uid = F.substring("conv_id", 6, 8).cast("long")
+    retries = t.filter(uid % 7 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-retry"))
+    )
+    tmp = tempfile.mkdtemp(prefix="inc_tdedup_")
+    ledger = OffsetsLedger(tmp, "tdedup")
+    sink = incremental_transcript_dedup_sink(f"{tmp}/corpus", ledger, compact_every=2)
+    for i in range(3):
+        sink(t.filter(uid % 3 == i), i)
+    sink(retries, 3)
+    return (
+        sink.read_output(spark)
+        .groupBy("conv_fp", "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select("conv_fp", F.col("conv_id").alias("keep_conv_id"), "n_turns")
+    )
+
+
+@query(
     "turn_echo_stats",
     TRANSCRIPTS_CTE
     + r"""
