@@ -1061,7 +1061,10 @@ def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction fires mid-run), then ``ann_query_topk`` queries the
     committed store with the full corpus. Equal by construction to batch
     ``lsh_ann_topk``, so the oracle is the SAME SQL — a streaming
-    composition holding a hash-exact SQL contract."""
+    composition holding a hash-exact SQL contract. The result is
+    materialized (localCheckpoint) so the temp index can be removed
+    before returning."""
+    import shutil
     import tempfile
 
     from arroyo_spark.streaming.incremental import ann_query_topk, incremental_ann_sink
@@ -1075,7 +1078,11 @@ def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(3):  # deterministic 3-way epoch split
         sink(e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i), i)
-    return ann_query_topk(sink, spark, e, k=5, n_planes=8, dim=64)
+    out = ann_query_topk(sink, spark, e, k=5, n_planes=8, dim=64).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 @query(
@@ -2521,10 +2528,13 @@ def q_transcript_wellformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "transcript_dedup",
-    TRANSCRIPTS_CTE
-    + r"""
+# Shared by both conversation-dedup oracles: inject a verbatim '-retry'
+# resubmission of every 7th user's conversation, fingerprint each
+# conversation order-sensitively (cv = one row per conversation with its
+# conv_fp, turn count, and arrival EPOCH — originals: user_id % 3, retries:
+# epoch 3 — mirroring the Spark side's whole-conversation epoch split in
+# q_incremental_transcript_dedup; the batch query ignores the epoch).
+RETRIED_CONV_CTE = r"""
 , with_retries AS (
   SELECT conv_id, turn_idx, role, text FROM transcripts
   UNION ALL
@@ -2539,12 +2549,36 @@ def q_transcript_wellformed(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM with_retries
 ), cv AS (
   SELECT conv_id,
+    CASE WHEN conv_id LIKE '%-retry' THEN 3
+         ELSE cast(substring(conv_id, 6, 8) AS bigint) % 3 END AS epoch,
     cast(('0x' || substring(md5(
       string_agg(cast(tfp AS varchar), ',' ORDER BY turn_idx)), 1, 15))::bigint
       AS bigint) AS conv_fp,
     count(*) AS n_turns
   FROM tf GROUP BY conv_id
 )
+"""
+
+
+def _retried_transcripts(spark: SparkSession, sf_dir: str):
+    """(transcripts, retries): the Spark twin of RETRIED_CONV_CTE's
+    with_retries — every 7th user's conversation resubmitted verbatim
+    under a '-retry' conv_id."""
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    uid = F.substring("conv_id", 6, 8).cast("long")
+    retries = t.filter(uid % 7 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-retry"))
+    )
+    return t, retries
+
+
+@query(
+    "transcript_dedup",
+    TRANSCRIPTS_CTE
+    + RETRIED_CONV_CTE
+    + """
 SELECT conv_fp, min(conv_id) AS keep_conv_id,
        count(*) AS dup_count, max(n_turns) AS n_turns
 FROM cv GROUP BY 1
@@ -2562,77 +2596,60 @@ def q_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     turn text."""
     from arroyo_spark.operators import transcript_dedup
 
-    t = transcripts_from_events(spark, sf_dir).select(
-        "conv_id", "turn_idx", "role", "text"
-    )
-    retries = t.filter(
-        F.substring("conv_id", 6, 8).cast("long") % 7 == 0
-    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-retry")))
+    t, retries = _retried_transcripts(spark, sf_dir)
     return transcript_dedup(t.unionAll(retries))
 
 
 @query(
     "incremental_transcript_dedup",
     TRANSCRIPTS_CTE
-    + r"""
-, with_retries AS (
-  SELECT conv_id, turn_idx, role, text FROM transcripts
-  UNION ALL
-  SELECT concat(conv_id, '-retry') AS conv_id, turn_idx, role, text
-  FROM transcripts
-  WHERE cast(substring(conv_id, 6) AS bigint) % 7 = 0
-), tf AS (
-  SELECT conv_id, turn_idx,
-    cast(('0x' || substring(md5(concat(role, '|',
-      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                          '\s+', ' ', 'g')))), 1, 15))::bigint AS bigint) AS tfp
-  FROM with_retries
-), cv AS (
-  SELECT conv_id,
-    cast(('0x' || substring(md5(
-      string_agg(cast(tfp AS varchar), ',' ORDER BY turn_idx)), 1, 15))::bigint
-      AS bigint) AS conv_fp,
-    count(*) AS n_turns
-  FROM tf GROUP BY conv_id
+    + RETRIED_CONV_CTE
+    + """
+, ranked AS (
+  SELECT conv_fp, conv_id, n_turns,
+         row_number() OVER (PARTITION BY conv_fp ORDER BY epoch, conv_id) AS rn
+  FROM cv
 )
-SELECT conv_fp, min(conv_id) AS keep_conv_id, max(n_turns) AS n_turns
-FROM cv GROUP BY 1
+SELECT conv_fp, conv_id AS keep_conv_id, n_turns FROM ranked WHERE rn = 1
 """,
 )
 def q_incremental_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING-built deduped transcript corpus, batch-oracle-checked:
-    conversations arrive whole in 3 epochs (user_id mod 3) through the
-    exactly-once sink, then a 4th epoch delivers the retry storm (every
-    7th user's conversation resubmitted verbatim — arriving AFTER its
-    original, the documented first-arrival precondition). Compaction
-    fires mid-run (compact_every=2). The committed store — keeper
-    conversations' full turn rows — is summarized per keeper and must
-    equal batch ``transcript_dedup``'s keeper set over the same retried
-    corpus: a streaming composition holding a hash-exact SQL contract."""
+    """STREAMING-built deduped transcript corpus, oracle-checked against
+    the streaming keep rule itself: conversations arrive whole in 3
+    epochs (user_id mod 3) through the exactly-once sink, then a 4th
+    epoch delivers the retry storm (every 7th user's conversation
+    resubmitted verbatim). Compaction fires mid-run (compact_every=2).
+    The committed store — keeper conversations' full turn rows — is
+    summarized per keeper; the oracle ranks each fingerprint's arrivals
+    by (epoch, conv_id) and keeps the first, i.e. EXACTLY the sink's
+    first-arrival-wins rule — so the hash contract holds even when two
+    different users naturally produce fingerprint-identical conversations
+    in different epochs (where batch min(conv_id) could name the later
+    arrival). The result is materialized (localCheckpoint) so the temp
+    store can be removed before returning."""
+    import shutil
     import tempfile
 
     from arroyo_spark.streaming.incremental import incremental_transcript_dedup_sink
     from arroyo_spark.streaming.ledger import OffsetsLedger
 
-    t = transcripts_from_events(spark, sf_dir).select(
-        "conv_id", "turn_idx", "role", "text"
-    )
+    t, retries = _retried_transcripts(spark, sf_dir)
     uid = F.substring("conv_id", 6, 8).cast("long")
-    retries = t.filter(uid % 7 == 0).withColumn(
-        "conv_id", F.concat(F.col("conv_id"), F.lit("-retry"))
-    )
     tmp = tempfile.mkdtemp(prefix="inc_tdedup_")
     ledger = OffsetsLedger(tmp, "tdedup")
     sink = incremental_transcript_dedup_sink(f"{tmp}/corpus", ledger, compact_every=2)
     for i in range(3):
         sink(t.filter(uid % 3 == i), i)
     sink(retries, 3)
-    return (
+    out = (
         sink.read_output(spark)
         .groupBy("conv_fp", "conv_id")
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select("conv_fp", F.col("conv_id").alias("keep_conv_id"), "n_turns")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 @query(

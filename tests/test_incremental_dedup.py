@@ -410,3 +410,36 @@ def test_incremental_transcript_dedup_crash_restart(spark, conv_stream_dir, tmp_
         for r in sink2.read_output(spark).select("conv_id").distinct().collect()
     }
     assert keepers == {"c1", "c2", "c3", "c4"}
+
+
+def test_incremental_transcript_dedup_first_arrival_beats_min_id(spark, tmp_path):
+    """The streaming keep rule is first-ARRIVAL (epoch, then id), not
+    global min-id: a duplicate arriving in a later epoch under a smaller
+    conv_id must NOT displace the committed keeper. (This is the case
+    where batch transcript_dedup's min-id keeper legitimately differs —
+    the driver query's oracle ranks by (epoch, conv_id) for exactly this
+    reason.)"""
+    from arroyo_spark.streaming.incremental import incremental_transcript_dedup_sink
+
+    out = str(tmp_path / "tstore")
+    ledger = OffsetsLedger(str(tmp_path), "tdedup")
+    sink = incremental_transcript_dedup_sink(out, ledger)
+    # epoch 0: keeper with the LARGER id
+    sink(
+        spark.createDataFrame(
+            [("z9", 0, "user", "hello"), ("z9", 1, "assistant", "hi")], CONV_SCHEMA
+        ),
+        0,
+    )
+    # epoch 1: fingerprint-identical conversation under a smaller id
+    sink(
+        spark.createDataFrame(
+            [("a1", 0, "user", "hello"), ("a1", 1, "assistant", "hi")], CONV_SCHEMA
+        ),
+        1,
+    )
+    keepers = {
+        r["conv_id"]
+        for r in sink.read_output(spark).select("conv_id").distinct().collect()
+    }
+    assert keepers == {"z9"}
