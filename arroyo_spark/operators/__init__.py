@@ -36,7 +36,9 @@ from arroyo_spark.operators.corpus import (  # noqa: F401
     ngram_decontaminate,
     ngram_repetition,
     pack_sequences,
+    role_transition_stats,
     stratified_sample,
+    tool_latency_stats,
     transcript_dedup,
     transcript_fingerprints,
     turn_echo_stats,

@@ -626,3 +626,85 @@ def turn_echo_stats(
     if partition_by:
         out = out.drop(*partition_by)
     return out
+
+
+def role_transition_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-wide role-transition (Markov bigram) matrix over transcripts.
+
+    Counts adjacent (prev_role -> role) pairs within each conversation and
+    row-normalizes: ``frac`` is P(to_role | from_role). The shape of this
+    matrix is a fast whole-corpus QA signal — user->user means double-sends,
+    tool->tool means unconsumed tool results, a missing assistant->user edge
+    means truncated conversations.
+
+    Scale shape: one lag() window per conversation (pass ``partition_by``
+    to reuse an upstream exchange that is 1:1 with ``key``), then a
+    groupBy over at most |roles|^2 rows; the row-normalizing window runs
+    on that tiny aggregate, not on the corpus.
+    """
+    part = list(partition_by) if partition_by else [key]
+    w = Window.partitionBy(*part).orderBy(*order)
+    d = df.withColumn("_prev_role", F.lag(F.col(role_col)).over(w)).filter(
+        F.col("_prev_role").isNotNull()
+    )
+    counts = d.groupBy(
+        F.col("_prev_role").alias("from_role"), F.col(role_col).alias("to_role")
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    w_row = Window.partitionBy("from_role")
+    return counts.withColumn(
+        "frac", F.col("n_trans").cast("double") / F.sum("n_trans").over(w_row)
+    )
+
+
+def tool_latency_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Per-tool response-latency distribution over transcripts.
+
+    A tool turn's latency is the event-time gap from the PREVIOUS turn in
+    the conversation (the turn that invoked it) to the tool turn itself.
+    Per tool: call counts, p50/p95/max latency, and the mean — all built
+    on integer microseconds (``unix_micros``) so sums are order-independent
+    and the DuckDB oracle matches hash-exact; percentiles are order
+    statistics (exact interpolating ``F.percentile``), never approximations.
+
+    Scale shape: one lag() window per conversation (``partition_by`` reuses
+    an upstream 1:1 exchange), a map-side filter to tool turns only, then
+    a groupBy over |tools| keys. The percentile state per group is the
+    tool's latency multiset — bounded by calls-per-tool; at 100 TB swap
+    ``F.percentile`` for ``percentile_approx`` if a single tool's call
+    count outgrows executor memory (documented trade: approx vs exact).
+    """
+    part = list(partition_by) if partition_by else [key]
+    w = Window.partitionBy(*part).orderBy(*order)
+    # parquet timestamps load as TIMESTAMP_NTZ; the cast to TIMESTAMP is
+    # micro-exact under the engine's UTC session contract (session.py:41),
+    # and any constant offset cancels in the lag difference anyway
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = (
+        df.withColumn("_prev_us", F.lag(ts_us).over(w))
+        .filter(F.col(tool_col).isNotNull() & (F.col(role_col) == "tool"))
+        .withColumn("_lat_us", ts_us - F.col("_prev_us"))
+    )
+    return d.groupBy(tool_col).agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.count("_lat_us").alias("n_timed"),
+        (F.percentile("_lat_us", 0.5) / F.lit(1000.0)).alias("p50_ms"),
+        (F.percentile("_lat_us", 0.95) / F.lit(1000.0)).alias("p95_ms"),
+        (F.max("_lat_us") / F.lit(1000.0)).alias("max_ms"),
+        (F.sum("_lat_us").cast("double") / F.count("_lat_us") / F.lit(1000.0)).alias(
+            "avg_ms"
+        ),
+    )

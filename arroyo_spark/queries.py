@@ -2699,6 +2699,75 @@ def q_turn_echo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "role_transition_stats",
+    TRANSCRIPTS_CTE
+    + """
+, lagged AS (
+  SELECT conv_id, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_role
+  FROM transcripts
+), counts AS (
+  SELECT prev_role AS from_role, role AS to_role, count(*) AS n_trans
+  FROM lagged WHERE prev_role IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_role, to_role, n_trans,
+  cast(n_trans AS double) / sum(n_trans) OVER (PARTITION BY from_role) AS frac
+FROM counts
+""",
+)
+def q_role_transition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide role-transition (Markov bigram) matrix: P(to|from) over
+    adjacent turn pairs — a whole-corpus transcript-QA signal (user->user
+    double-sends, tool->tool unconsumed results). One lag() window reusing
+    the derivation's user_id exchange, then a groupBy over <=16 rows; the
+    row-normalizing window runs on the tiny aggregate."""
+    from arroyo_spark.operators import role_transition_stats
+
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
+    return role_transition_stats(
+        t, key="conv_id", order=("ts", "turn_idx"), partition_by=["user_id"]
+    )
+
+
+@query(
+    "tool_latency_stats",
+    TRANSCRIPTS_CTE
+    + """
+, lagged AS (
+  SELECT conv_id, role, tool,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS lat_us
+  FROM transcripts
+), calls AS (
+  SELECT tool, lat_us FROM lagged WHERE tool IS NOT NULL AND role = 'tool'
+)
+SELECT tool,
+  count(*) AS n_calls,
+  count(lat_us) AS n_timed,
+  quantile_cont(lat_us, 0.5) / 1000.0 AS p50_ms,
+  quantile_cont(lat_us, 0.95) / 1000.0 AS p95_ms,
+  max(lat_us) / 1000.0 AS max_ms,
+  cast(sum(lat_us) AS double) / count(lat_us) / 1000.0 AS avg_ms
+FROM calls
+GROUP BY tool
+""",
+)
+def q_tool_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool response-latency distribution: gap from the invoking turn
+    to the tool turn, aggregated per tool as p50/p95/max/mean. Built on
+    integer microseconds so sums are order-independent (hash-exact vs
+    DuckDB); percentiles are exact order statistics. One lag() window on
+    the reused user_id exchange + a groupBy over |tools|=4 keys."""
+    from arroyo_spark.operators import tool_latency_stats
+
+    t = transcripts_from_events(spark, sf_dir, keep_user_id=True)
+    return tool_latency_stats(
+        t, key="conv_id", order=("ts", "turn_idx"), partition_by=["user_id"]
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

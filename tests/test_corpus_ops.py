@@ -429,3 +429,79 @@ def test_turn_echo_stats_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final_plan = plan.split("== Initial Plan ==")[0]
     assert final_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_role_transition_stats_semantics_and_plan(spark):
+    from arroyo_spark.operators.corpus import role_transition_stats
+
+    rows = [
+        # c1: user -> assistant -> user -> assistant
+        ("c1", 0, "user", 0),
+        ("c1", 1, "assistant", 1),
+        ("c1", 2, "user", 2),
+        ("c1", 3, "assistant", 3),
+        # c2: user -> user (double-send) -> assistant
+        ("c2", 0, "user", 0),
+        ("c2", 1, "user", 1),
+        ("c2", 2, "assistant", 2),
+        # c3: single turn -> contributes NO transition
+        ("c3", 0, "system", 0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts long")
+    out = role_transition_stats(df, order=("ts", "turn_idx"))
+    got = {(r.from_role, r.to_role): r.asDict() for r in out.collect()}
+    # transitions: c1 u->a, a->u, u->a; c2 u->u, u->a; c3 none
+    assert got[("user", "assistant")]["n_trans"] == 3
+    assert got[("assistant", "user")]["n_trans"] == 1
+    assert got[("user", "user")]["n_trans"] == 1
+    assert set(got) == {("user", "assistant"), ("assistant", "user"), ("user", "user")}
+    # row-normalization: P(to | from=user) sums to 1; exact int ratios
+    assert abs(got[("user", "assistant")]["frac"] - 3 / 4) < 1e-12
+    assert abs(got[("user", "user")]["frac"] - 1 / 4) < 1e-12
+    assert abs(got[("assistant", "user")]["frac"] - 1.0) < 1e-12
+    # corpus pass = one hash exchange (lag window); the normalizing window
+    # and groupBy run over the tiny <=|roles|^2 aggregate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange hashpartitioning(conv_id") == 1
+
+
+def test_tool_latency_stats_semantics(spark):
+    from datetime import datetime
+
+    from arroyo_spark.operators.corpus import tool_latency_stats
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec: float):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(
+            second=int(sec), microsecond=int(round((sec % 1) * 1e6))
+        )
+
+    rows = [
+        # c1: assistant calls search, tool answers 2.5s later
+        ("c1", 0, "assistant", None, t0),
+        ("c1", 1, "tool", "search", at(2.5)),
+        # c1: another search call answered 0.5s later
+        ("c1", 2, "assistant", None, at(10)),
+        ("c1", 3, "tool", "search", at(10.5)),
+        # c2: python call answered 4s later
+        ("c2", 0, "user", None, t0),
+        ("c2", 1, "tool", "python", at(4)),
+        # c3: tool turn OPENS the conversation -> counted, not timed
+        ("c3", 0, "tool", "python", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+    got = {
+        r.tool: r.asDict()
+        for r in tool_latency_stats(df, order=("ts", "turn_idx")).collect()
+    }
+    assert got["search"]["n_calls"] == 2 and got["search"]["n_timed"] == 2
+    assert abs(got["search"]["p50_ms"] - 1500.0) < 1e-9  # interp of 500, 2500
+    assert abs(got["search"]["max_ms"] - 2500.0) < 1e-9
+    assert abs(got["search"]["avg_ms"] - 1500.0) < 1e-9
+    assert got["python"]["n_calls"] == 2 and got["python"]["n_timed"] == 1
+    assert abs(got["python"]["p50_ms"] - 4000.0) < 1e-9
+    assert abs(got["python"]["p95_ms"] - 4000.0) < 1e-9
