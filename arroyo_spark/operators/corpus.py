@@ -457,7 +457,6 @@ def validate_transcripts(
     order: tuple[str, ...] = ("ts", "turn_idx"),
     role_col: str = "role",
     text_col: str = "text",
-    turn_idx_col: str = "turn_idx",
     partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Per-conversation structural QA: the transcript-ingest validator.
@@ -483,7 +482,12 @@ def validate_transcripts(
     part = list(partition_by) if partition_by else [key]
     w = Window.partitionBy(*part).orderBy(*order)
     role = F.col(role_col)
-    d = df.withColumn("_prev_role", F.lag(role).over(w))
+    # first turn = row_number()==1 under the DECLARED order (same window
+    # spec as the lag -> no extra exchange/sort), NOT turn_idx==0: 1-based
+    # or offset turn indices must not mark every conversation malformed
+    d = df.withColumn("_prev_role", F.lag(role).over(w)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
     group_cols = part + [key] if partition_by else [key]
     orphan = (role == "tool") & ~F.coalesce(
         F.col("_prev_role").isin("assistant", "tool"), F.lit(False)
@@ -498,9 +502,7 @@ def validate_transcripts(
         F.count(F.when(empty, 1)).alias("empty_turns"),
         (
             F.max(
-                F.when(
-                    (F.col(turn_idx_col) == 0) & (role == "user"), 1
-                ).otherwise(0)
+                F.when((F.col("_rn") == 1) & (role == "user"), 1).otherwise(0)
             )
             == 1
         ).alias("starts_with_user"),
@@ -673,8 +675,10 @@ def tool_latency_stats(
 ) -> DataFrame:
     """Per-tool response-latency distribution over transcripts.
 
-    A tool turn's latency is the event-time gap from the PREVIOUS turn in
-    the conversation (the turn that invoked it) to the tool turn itself.
+    A tool turn's latency is the event-time gap from the INVOKING turn —
+    the last non-tool turn before it in the conversation — so parallel
+    tool batches (tool-after-tool, legal per ``validate_transcripts``) are
+    each timed from the shared invocation, not from each other.
     Per tool: call counts, p50/p95/max latency, and the mean — all built
     on integer microseconds (``unix_micros``) so sums are order-independent
     and the DuckDB oracle matches hash-exact; percentiles are order
@@ -691,12 +695,15 @@ def tool_latency_stats(
     w = Window.partitionBy(*part).orderBy(*order)
     # parquet timestamps load as TIMESTAMP_NTZ; the cast to TIMESTAMP is
     # micro-exact under the engine's UTC session contract (session.py:41),
-    # and any constant offset cancels in the lag difference anyway
+    # and any constant offset cancels in the gap difference anyway
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    invoke_us = F.last(
+        F.when(F.col(role_col) != "tool", ts_us), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
     d = (
-        df.withColumn("_prev_us", F.lag(ts_us).over(w))
+        df.withColumn("_invoke_us", invoke_us)
         .filter(F.col(tool_col).isNotNull() & (F.col(role_col) == "tool"))
-        .withColumn("_lat_us", ts_us - F.col("_prev_us"))
+        .withColumn("_lat_us", ts_us - F.col("_invoke_us"))
     )
     return d.groupBy(tool_col).agg(
         F.count(F.lit(1)).alias("n_calls"),

@@ -112,15 +112,25 @@ def decode_image(media_bytes: bytes):
     import numpy as np
 
     if media_bytes[:2] == b"P6":
-        # header: magic, whitespace-separated width/height/maxval, one ws
-        parts = media_bytes.split(maxsplit=4)
-        if len(parts) < 4:
-            raise ValueError("truncated PPM header")
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        # header: magic, whitespace-separated width/height/maxval, ONE ws,
+        # then pixel data. Tokenize positionally — a substring search for
+        # the maxval token is wrong whenever width/height contain '255'
+        # (e.g. a 255-px-wide image: the first b'255' hit is the width).
+        i, toks = 2, []
+        while len(toks) < 3:
+            while i < len(media_bytes) and media_bytes[i : i + 1].isspace():
+                i += 1
+            j = i
+            while j < len(media_bytes) and not media_bytes[j : j + 1].isspace():
+                j += 1
+            if j == i:
+                raise ValueError("truncated PPM header")
+            toks.append(media_bytes[i:j])
+            i = j
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
         if maxval != 255:
             raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
-        # pixel data starts one byte after the maxval token
-        start = media_bytes.index(parts[3], len(parts[0])) + len(parts[3]) + 1
+        start = i + 1  # exactly one whitespace byte after the maxval token
         pix = np.frombuffer(media_bytes, dtype=np.uint8, count=w * h * 3, offset=start)
         return pix.reshape(h, w, 3)
     if media_bytes[:2] == b"BM":

@@ -476,6 +476,66 @@ def ivf_ann_topk(
     )
 
 
+def _pq_self_dots(cw_rows, m: int, sub: int) -> list[list[float]]:
+    """Codeword self-dots dot(cw_jc, cw_jc), precomputed ONCE driver-side
+    with the sequential left-to-right fold — bit-identical to ``_dot`` and
+    to the SQL oracle's list_dot_product recomputation."""
+
+    def seq_self_dot(xs) -> float:
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    return [
+        [seq_self_dot(r["_vec"][j * sub : (j + 1) * sub]) for r in cw_rows]
+        for j in range(m)
+    ]
+
+
+def _pq_exprs(m: int, sub: int, k_codes: int) -> tuple[str, str, str]:
+    """The PQ SQL-expression trio shared by ``pq_ann_topk`` and
+    ``ivfpq_ann_topk`` — ONE definition so the hash-exact oracle contract
+    ("same fold, same bits") cannot drift between the two operators.
+
+    Returns (codes_expr, qtab_expr, adc_ip):
+    - codes_expr: per row, m argmins over k_codes codewords via the key
+      dot(cw,cw) - 2*dot(x_j,cw) (ties -> smallest c), one projection
+    - qtab_expr: the query's m*k_codes ADC lookup table (flattened)
+    - adc_ip: sequential left-to-right sum over j of table lookups — the
+      same association as the oracle's ts[1] + ... + ts[m]
+    """
+
+    def fold(a_expr: str, b_expr: str) -> str:
+        return (
+            f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> x * y), 0.0D,"
+            " (a, x) -> a + x)"
+        )
+
+    def cw(c_expr: str) -> str:  # codeword c's subspace-j slice
+        return f"slice(element_at(_cvs, {c_expr}), j * {sub} + 1, {sub})"
+
+    key = (
+        "element_at(element_at(_ccs, j + 1), c + 1) - 2.0D * "
+        f"{fold(f'slice(_vec, j * {sub} + 1, {sub})', cw('c + 1'))}"
+    )
+    codes_expr = (
+        f"transform(sequence(0, {m - 1}), j -> element_at(slice(array_sort("
+        f"transform(sequence(0, {k_codes - 1}), c -> named_struct('key', {key}, 'c', c))"
+        f"), 1, 1), 1).c)"
+    )
+    qtab_expr = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {k_codes - 1}), c -> "
+        f"{fold(f'slice(_vec, j * {sub} + 1, {sub})', cw('c + 1'))})))"
+    )
+    adc_ip = " + ".join(
+        f"element_at(_qtab, {j} * {k_codes} + element_at(_codes, {j} + 1) + 1)"
+        for j in range(m)
+    )
+    return codes_expr, qtab_expr, adc_ip
+
+
 def pq_ann_topk(
     df: DataFrame,
     k: int = 5,
@@ -536,44 +596,16 @@ def pq_ann_topk(
     # broadcast row of arrays (same shape as ivf_ann_topk's centroids)
     cw_rows = v.orderBy("_id").limit(k_codes).collect()
 
-    def _py_dot(xs) -> float:  # sequential fold — bit-identical to _dot
-        acc = 0.0
-        for x in xs:
-            acc = acc + x * x
-        return acc
-
     # cc = dot(cw_jc, cw_jc) depends only on (j, c): precomputed ONCE on
-    # the driver with the same sequential fold (bit-identical to the SQL
-    # oracle's list_dot_product recomputation) — halves the per-row encode
-    # folds vs recomputing cc per (row, j, c)
-    ccs = [
-        [_py_dot(r["_vec"][j * sub : (j + 1) * sub]) for r in cw_rows]
-        for j in range(m)
-    ]
+    # the driver (shared helper, same sequential fold) — halves the
+    # per-row encode folds vs recomputing cc per (row, j, c)
+    ccs = _pq_self_dots(cw_rows, m, sub)
     cents = df.sparkSession.createDataFrame(
         [([r["_vec"] for r in cw_rows], ccs)],
         "_cvs array<array<double>>, _ccs array<array<double>>",
     )
-
-    def _fold(a_expr: str, b_expr: str) -> str:
-        return (
-            f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> x * y), 0.0D,"
-            " (a, x) -> a + x)"
-        )
-
-    def _cw(c_expr: str) -> str:  # codeword c's subspace-j slice
-        return f"slice(element_at(_cvs, {c_expr}), j * {sub} + 1, {sub})"
-
     # per row: m argmins over k_codes codewords, inside one projection
-    key = (
-        "element_at(element_at(_ccs, j + 1), c + 1) - 2.0D * "
-        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))}"
-    )
-    codes_expr = (
-        f"transform(sequence(0, {m - 1}), j -> element_at(slice(array_sort("
-        f"transform(sequence(0, {k_codes - 1}), c -> named_struct('key', {key}, 'c', c))"
-        f"), 1, 1), 1).c)"
-    )
+    codes_expr, qtab_expr, adc_ip = _pq_exprs(m, sub, k_codes)
     base = (
         v.join(F.broadcast(cents))
         .select("_id", "_norm", F.expr(codes_expr).alias("_codes"))
@@ -588,22 +620,11 @@ def pq_ann_topk(
     # projection against the broadcast codebook); a pair then costs m
     # table adds instead of a dim-term dot — the per-pair work no longer
     # depends on dim at all
-    qtab_expr = (
-        f"flatten(transform(sequence(0, {m - 1}), j -> "
-        f"transform(sequence(0, {k_codes - 1}), c -> "
-        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))})))"
-    )
     q = v if n_queries is None else v.orderBy("_id").limit(n_queries)
     q = q.join(F.broadcast(cents)).select(
         F.col("_id").alias("query_id"),
         F.expr(qtab_expr).alias("_qtab"),
         F.col("_norm").alias("_qn"),
-    )
-    # sequential left-to-right sum over j — the same association the SQL
-    # oracle's ts[1] + ... + ts[m] uses, so the bits match
-    adc_ip = " + ".join(
-        f"element_at(_qtab, {j} * {k_codes} + element_at(_codes, {j} + 1) + 1)"
-        for j in range(m)
     )
     scored = (
         base.join(F.broadcast(q))
@@ -662,17 +683,7 @@ def ivfpq_ann_topk(
     )
     head = v.orderBy("_id").limit(max(n_cells, k_codes)).collect()
     cent_rows, cw_rows = head[:n_cells], head[:k_codes]
-
-    def _py_dot2(xs, ys) -> float:
-        acc = 0.0
-        for x, y in zip(xs, ys):
-            acc = acc + x * y
-        return acc
-
-    ccs = [
-        [_py_dot2(r["_vec"][j * sub : (j + 1) * sub], r["_vec"][j * sub : (j + 1) * sub]) for r in cw_rows]
-        for j in range(m)
-    ]
+    ccs = _pq_self_dots(cw_rows, m, sub)
     consts = df.sparkSession.createDataFrame(
         [(
             [r["_id"] for r in cent_rows],
@@ -685,15 +696,6 @@ def ivfpq_ann_topk(
         "_cvs array<array<double>>, _ccs array<array<double>>",
     )
 
-    def _fold(a_expr: str, b_expr: str) -> str:
-        return (
-            f"aggregate(zip_with({a_expr}, {b_expr}, (x, y) -> x * y), 0.0D,"
-            " (a, x) -> a + x)"
-        )
-
-    def _cw(c_expr: str) -> str:
-        return f"slice(element_at(_cvs, {c_expr}), j * {sub} + 1, {sub})"
-
     # same probe expression as ivf_ann_topk (bit-identical cell choice)
     probe_expr = (
         "slice(array_sort(transform(sequence(0, size(_cells) - 1), i -> named_struct("
@@ -701,20 +703,7 @@ def ivfpq_ann_topk(
         " (a, x) -> a + x) / (_norm * element_at(_cns, i + 1))), "
         f"'cell', element_at(_cells, i + 1)))), 1, {n_probe})"
     )
-    key = (
-        "element_at(element_at(_ccs, j + 1), c + 1) - 2.0D * "
-        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))}"
-    )
-    codes_expr = (
-        f"transform(sequence(0, {m - 1}), j -> element_at(slice(array_sort("
-        f"transform(sequence(0, {k_codes - 1}), c -> named_struct('key', {key}, 'c', c))"
-        f"), 1, 1), 1).c)"
-    )
-    qtab_expr = (
-        f"flatten(transform(sequence(0, {m - 1}), j -> "
-        f"transform(sequence(0, {k_codes - 1}), c -> "
-        f"{_fold(f'slice(_vec, j * {sub} + 1, {sub})', _cw('c + 1'))})))"
-    )
+    codes_expr, qtab_expr, adc_ip = _pq_exprs(m, sub, k_codes)
     assign = (
         v.join(F.broadcast(consts))
         .select(
@@ -736,10 +725,6 @@ def ivfpq_ann_topk(
     )
     probes = assign.select(
         F.col("_id").alias("query_id"), "cell", "_qtab", F.col("_norm").alias("_qn")
-    )
-    adc_ip = " + ".join(
-        f"element_at(_qtab, {j} * {k_codes} + element_at(_codes, {j} + 1) + 1)"
-        for j in range(m)
     )
     scored = (
         probes.join(base, "cell")

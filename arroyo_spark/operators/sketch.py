@@ -214,9 +214,14 @@ def sampled_quantile_merge(rollup: DataFrame, quantiles: list[float]) -> DataFra
     picks = [
         F.struct(
             F.lit(q).alias("q"),
-            F.element_at(
-                "_all",
-                (F.floor(F.lit(q) * (F.size("_all") - 1)) + 1).cast("int"),
+            # empty merged sample: the index expression degenerates to 0
+            # (element_at rejects it) -> surface NULL estimates instead
+            F.when(
+                F.size("_all") > 0,
+                F.element_at(
+                    "_all",
+                    (F.floor(F.lit(q) * (F.size("_all") - 1)) + 1).cast("int"),
+                ),
             ).alias("est"),
         )
         for q in quantiles

@@ -1006,6 +1006,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), vb AS (
   SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
   QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000
@@ -1039,6 +1040,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), vb AS (
   SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
   QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000
@@ -1072,17 +1074,18 @@ def q_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     tmp = tempfile.mkdtemp(prefix="inc_ann_")
-    ledger = OffsetsLedger(tmp, "ann")
-    sink = incremental_ann_sink(
-        f"{tmp}/index", ledger, n_planes=8, dim=64, compact_every=2
-    )
-    for i in range(3):  # deterministic 3-way epoch split
-        sink(e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i), i)
-    out = ann_query_topk(sink, spark, e, k=5, n_planes=8, dim=64).localCheckpoint(
-        eager=True
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    try:
+        ledger = OffsetsLedger(tmp, "ann")
+        sink = incremental_ann_sink(
+            f"{tmp}/index", ledger, n_planes=8, dim=64, compact_every=2
+        )
+        for i in range(3):  # deterministic 3-way epoch split
+            sink(e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i), i)
+        return ann_query_topk(
+            sink, spark, e, k=5, n_planes=8, dim=64
+        ).localCheckpoint(eager=True)
+    finally:  # don't leak the temp index when an epoch/query raises
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -1092,6 +1095,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), c AS (
   SELECT vec_id AS cell, e AS ce, nrm AS cn FROM v ORDER BY vec_id LIMIT 128
 ), assign AS (
@@ -1263,6 +1267,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), vb AS (
   SELECT vec_id,
          cast({_lsh_bucket_sql(8, 64, seed=0)} AS int) AS b0,
@@ -1312,6 +1317,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), vb AS (
   SELECT vec_id, e, nrm, cast({_lsh_bucket_sql(8, 64)} AS int) AS bucket FROM v
   QUALIFY count(*) OVER (PARTITION BY bucket) <= 10000
@@ -2437,6 +2443,11 @@ WITH w AS (
       THEN cast(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS double)
            / len(ws)
       ELSE 0.0 END AS alpha_frac,
+    cast(len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                OR starts_with(x, '•'))) AS double)
+      / len(ls) AS bullet_frac,
+    cast(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+      AS double) / len(ls) AS ellipsis_frac,
     cast(list_contains(list_transform(ws, x -> lower(x)), 'the')::int
        + list_contains(list_transform(ws, x -> lower(x)), 'be')::int
        + list_contains(list_transform(ws, x -> lower(x)), 'to')::int
@@ -2448,10 +2459,12 @@ WITH w AS (
       AS bigint) AS stop_hits
   FROM w
 )
-SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_frac, stop_hits,
   (n_words >= 40 AND n_words <= 100000
    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 1) AS passes
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+   AND alpha_frac >= 0.8 AND stop_hits >= 1) AS passes
 FROM m
 """,
 )
@@ -2473,6 +2486,8 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_q.n_words",
         "_q.mean_word_len",
         "_q.symbol_ratio",
+        "_q.bullet_frac",
+        "_q.ellipsis_frac",
         "_q.alpha_frac",
         "_q.stop_hits",
         "_q.passes",
@@ -2485,7 +2500,8 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , lagged AS (
   SELECT conv_id, turn_idx, role, text,
-    lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_role
+    lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_role,
+    row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
   FROM transcripts
 )
 SELECT conv_id,
@@ -2498,9 +2514,9 @@ SELECT conv_id,
     THEN 1 ELSE 0 END) AS bigint) AS orphan_tools,
   cast(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS bigint)
     AS empty_turns,
-  max(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1
+  max(CASE WHEN rn = 1 AND role = 'user' THEN 1 ELSE 0 END) = 1
     AS starts_with_user,
-  (max(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1
+  (max(CASE WHEN rn = 1 AND role = 'user' THEN 1 ELSE 0 END) = 1
    AND sum(CASE WHEN role = 'tool'
          AND NOT coalesce(prev_role IN ('assistant', 'tool'), false)
          THEN 1 ELSE 0 END) = 0
@@ -2636,20 +2652,23 @@ def q_incremental_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     t, retries = _retried_transcripts(spark, sf_dir)
     uid = F.substring("conv_id", 6, 8).cast("long")
     tmp = tempfile.mkdtemp(prefix="inc_tdedup_")
-    ledger = OffsetsLedger(tmp, "tdedup")
-    sink = incremental_transcript_dedup_sink(f"{tmp}/corpus", ledger, compact_every=2)
-    for i in range(3):
-        sink(t.filter(uid % 3 == i), i)
-    sink(retries, 3)
-    out = (
-        sink.read_output(spark)
-        .groupBy("conv_fp", "conv_id")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .select("conv_fp", F.col("conv_id").alias("keep_conv_id"), "n_turns")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    try:
+        ledger = OffsetsLedger(tmp, "tdedup")
+        sink = incremental_transcript_dedup_sink(
+            f"{tmp}/corpus", ledger, compact_every=2
+        )
+        for i in range(3):
+            sink(t.filter(uid % 3 == i), i)
+        sink(retries, 3)
+        return (
+            sink.read_output(spark)
+            .groupBy("conv_fp", "conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select("conv_fp", F.col("conv_id").alias("keep_conv_id"), "n_turns")
+            .localCheckpoint(eager=True)
+        )
+    finally:  # don't leak the temp store when an epoch/read raises
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -2737,8 +2756,10 @@ def q_role_transition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , lagged AS (
   SELECT conv_id, role, tool,
-    epoch_us(ts) - lag(epoch_us(ts))
-      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS lat_us
+    epoch_us(ts) - last_value(CASE WHEN role <> 'tool' THEN epoch_us(ts) END
+        IGNORE NULLS)
+      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lat_us
   FROM transcripts
 ), calls AS (
   SELECT tool, lat_us FROM lagged WHERE tool IS NOT NULL AND role = 'tool'

@@ -232,8 +232,15 @@ def epoch_ann_transform(
         with_norm,
     )
 
+    # infer the (constant) dimension at most ONCE across epochs: _infer_dim
+    # is a .first() driver job, and paying it per epoch is exactly the
+    # serial fixed cost the epoch_cost_probe work drives down (ADVICE r4 #4)
+    _dim_cache = {"d": dim}
+
     def transform(batch_df: DataFrame) -> DataFrame:
-        d = dim if dim is not None else _infer_dim(batch_df, vec_col)
+        if _dim_cache["d"] is None:
+            _dim_cache["d"] = _infer_dim(batch_df, vec_col)
+        d = _dim_cache["d"]
         v = with_norm(batch_df, vec_col, d)
         return v.select(
             F.col(id_col),

@@ -110,6 +110,11 @@ _KAFKA_SOURCE_OPTION_SHAPES: dict[str, str] = {
     "startingoffsets": "offsets",
     "startingoffsetsbytimestamp": "str",
     "startingtimestamp": "int",
+    "startingoffsetsbytimestampstrategy": "str",
+    "endingoffsets": "offsets",
+    "endingoffsetsbytimestamp": "str",
+    "endingtimestamp": "int",
+    "maxrecordsperpartition": "posint",
     "maxoffsetspertrigger": "posint",
     "minoffsetspertrigger": "posint",
     "maxtriggerdelay": "duration",
@@ -140,7 +145,9 @@ _FORBIDDEN_KAFKA_PASSTHROUGH: dict[str, str] = {
 _SUBSCRIPTION_MODES = ("subscribe", "subscribepattern", "assign")
 
 
-def validate_kafka_options(options: dict[str, str]) -> dict[str, str]:
+def validate_kafka_options(
+    options: dict[str, str], strict: bool = True
+) -> dict[str, str]:
     """Validate + normalize Kafka source options; raises ValueError early.
 
     Checks (construction-time, no broker needed — same stance as the
@@ -151,6 +158,11 @@ def validate_kafka_options(options: dict[str, str]) -> dict[str, str]:
       per-option shape checks (ints positive, bools boolean, offsets one of
       earliest/latest/{json})
     - engine-owned kafka.* configs rejected with the replacement named
+
+    ``strict=False`` downgrades the unknown-option rejection to a warning
+    and passes the option through verbatim — the escape hatch for connector
+    options newer than this list (shape checks and the engine-owned
+    rejections still apply; the typo guard is the only thing relaxed).
 
     Returns the options dict with every value stringified.
     """
@@ -176,10 +188,17 @@ def validate_kafka_options(options: dict[str, str]) -> dict[str, str]:
             import difflib
 
             hint = difflib.get_close_matches(lk, _KAFKA_SOURCE_OPTION_SHAPES, n=1)
-            raise ValueError(
-                f"unknown Kafka source option {k!r}"
-                + (f" — did you mean {hint[0]!r}?" if hint else "")
+            msg = f"unknown Kafka source option {k!r}" + (
+                f" — did you mean {hint[0]!r}?" if hint else ""
             )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg + " (passed through, strict=False)", stacklevel=2)
+            out[k] = sv
+            lower_seen.add(lk)
+            continue
         if shape in ("posint", "int"):
             try:
                 iv = int(sv)
@@ -270,6 +289,7 @@ def kafka_source(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     codec=None,
+    strict_options: bool = True,
     **extra_options: str,
 ) -> StreamSource:
     """Kafka topic stream (the reference consumer's seam).
@@ -290,7 +310,7 @@ def kafka_source(
     }
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
-    opts = validate_kafka_options(opts)
+    opts = validate_kafka_options(opts, strict=strict_options)
 
     def decode(df: DataFrame) -> DataFrame:
         from arroyo_spark.streaming.codecs import JSON

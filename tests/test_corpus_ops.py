@@ -490,6 +490,11 @@ def test_tool_latency_stats_semantics(spark):
         ("c2", 1, "tool", "python", at(4)),
         # c3: tool turn OPENS the conversation -> counted, not timed
         ("c3", 0, "tool", "python", t0),
+        # c4: PARALLEL tool batch — both results timed from the shared
+        # invoking turn (t=20), not from each other
+        ("c4", 0, "assistant", None, at(20)),
+        ("c4", 1, "tool", "bash", at(21)),
+        ("c4", 2, "tool", "bash", at(23)),
     ]
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
@@ -505,3 +510,24 @@ def test_tool_latency_stats_semantics(spark):
     assert got["python"]["n_calls"] == 2 and got["python"]["n_timed"] == 1
     assert abs(got["python"]["p50_ms"] - 4000.0) < 1e-9
     assert abs(got["python"]["p95_ms"] - 4000.0) < 1e-9
+    # parallel batch: latencies 1s and 3s (both from the invoking turn),
+    # NOT 1s and 2s (tool-to-tool gap)
+    assert got["bash"]["n_timed"] == 2
+    assert abs(got["bash"]["max_ms"] - 3000.0) < 1e-9
+    assert abs(got["bash"]["avg_ms"] - 2000.0) < 1e-9
+
+
+def test_validate_transcripts_one_based_turn_idx(spark):
+    from arroyo_spark.operators.corpus import validate_transcripts
+
+    # 1-based ingest convention: first turn under the declared order must
+    # still count as starts_with_user (regression: turn_idx==0 hard-code)
+    rows = [
+        ("c1", 1, "user", "hi", 0),
+        ("c1", 2, "assistant", "hello", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    r = validate_transcripts(df, order=("ts", "turn_idx")).collect()[0]
+    assert r.starts_with_user is True and r.wellformed is True

@@ -283,6 +283,39 @@ def test_kafka_options_reject_matrix(opts, msg):
         validate_kafka_options(opts)
 
 
+def test_kafka_options_documented_connector_set_accepted():
+    # real spark-sql-kafka options that postdate the original allowlist
+    # must not be rejected (review r5: allowlist over-rejection)
+    ok = validate_kafka_options(
+        {
+            **BASE,
+            "startingOffsetsByTimestampStrategy": "latest",
+            "endingOffsets": "latest",
+            "endingTimestamp": "1700000000000",
+            "maxRecordsPerPartition": "100000",
+        }
+    )
+    assert ok["endingOffsets"] == "latest"
+
+
+def test_kafka_options_nonstrict_passthrough_warns():
+    # unknown option: strict raises, non-strict warns and passes through;
+    # engine-owned rejections survive either way
+    import warnings
+
+    with pytest.raises(ValueError, match="unknown Kafka source option"):
+        validate_kafka_options({**BASE, "someFutureKnob": "x"})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ok = validate_kafka_options({**BASE, "someFutureKnob": "x"}, strict=False)
+    assert ok["someFutureKnob"] == "x"
+    assert any("someFutureKnob" in str(w.message) for w in rec)
+    with pytest.raises(ValueError, match="engine-owned"):
+        validate_kafka_options(
+            {**BASE, "kafka.enable.auto.commit": "true"}, strict=False
+        )
+
+
 def test_build_kafka_consumer_options_reference_defaults():
     """Mirrors build_kafka_consumer_configuration defaults (reference
     configuration.py:168-212): earliest reset, 50 MB prefetch bound,

@@ -81,3 +81,15 @@ def test_sampled_quantile_merge_is_lossless(spark):
     )
     got2 = {row.q: row.est for row in sampled_quantile_merge(r2, [0.25, 0.5, 0.9]).collect()}
     assert got2 == got
+
+
+def test_sampled_quantile_merge_empty_sample_returns_nulls(spark):
+    # a rollup whose hash sample kept zero rows must surface NULL
+    # estimates, not an element_at(.., 0) crash
+    df, _ = _events(spark)
+    vals = df.withColumn("v", (F.col("event_id") % 997).cast("double"))
+    r = sampled_quantile_rollup(
+        vals, "event_id", "v", bucket="1 hour", fraction=0.3, salt="s"
+    ).filter(F.lit(False))  # simulate: no buckets survived
+    got = {row.q: row.est for row in sampled_quantile_merge(r, [0.5, 0.9]).collect()}
+    assert got == {0.5: None, 0.9: None}
