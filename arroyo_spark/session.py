@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO min/max statistics, so a
+        # ts-clustered table cannot prune row groups and ts pushdown dies
+        # at the scan. MICROS is the modern annotated type: full stats,
+        # full pushdown, exact under the UTC session contract.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local mode = single JVM: the driver heap IS the executor heap.

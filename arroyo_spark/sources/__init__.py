@@ -1,3 +1,7 @@
+from arroyo_spark.sources.layout import (  # noqa: F401
+    rowgroup_admit_stats,
+    write_clustered,
+)
 from arroyo_spark.sources.tables import (  # noqa: F401
     load_table,
     register_views,
