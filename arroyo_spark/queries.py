@@ -2789,6 +2789,52 @@ def q_tool_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "clustered_scan",
+    TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM transcripts
+WHERE conv_id BETWEEN 'conv-00000002' AND 'conv-00000004'
+  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+""",
+)
+def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout round trip: the transcript stream is rewritten
+    Z-ordered on (conv_id, ts) (``sources/layout.py::write_zordered`` —
+    Morton-interleaved quantile buckets, range exchange + in-file sort),
+    then read back through a scan carrying BOTH predicate shapes the
+    layout exists for: a conv_id point/prefix lookup and a ts range.
+    The oracle applies the same filter to the raw table, so hash equality
+    certifies the layout write loses nothing — including timestamps at
+    exact micros precision (TIMESTAMP_MICROS; INT96 would round-trip but
+    carry no stats). The pruning itself (admit fractions) is measured in
+    tests/test_layout.py; at 10^12 turns this rewrite is the one-shuffle
+    cost that turns every later lookup/backfill from a full decode into
+    O(matching row groups)."""
+    import shutil
+    import tempfile
+
+    from arroyo_spark.sources.layout import write_zordered
+
+    t = transcripts_from_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="layout_q_")
+    try:
+        write_zordered(t, f"{tmp}/z", ["conv_id", "ts"], n_files=8)
+        out = (
+            spark.read.parquet(f"{tmp}/z")
+            .filter(
+                F.col("conv_id").between("conv-00000002", "conv-00000004")
+                & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+            )
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:  # don't leak the temp layout when the write/read raises
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
