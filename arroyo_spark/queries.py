@@ -2815,9 +2815,12 @@ def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from arroyo_spark.sources.layout import write_zordered
+    from arroyo_spark.sources import write_zordered
 
-    t = transcripts_from_events(spark, sf_dir)
+    # localCheckpoint: the quantile sketches + the write are each driver-
+    # triggered reads of the input; without staging, the window-over-events
+    # transcripts derivation re-executes ~5x (measured by review).
+    t = transcripts_from_events(spark, sf_dir).localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="layout_q_")
     try:
         write_zordered(t, f"{tmp}/z", ["conv_id", "ts"], n_files=8)

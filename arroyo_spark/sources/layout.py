@@ -60,15 +60,28 @@ def write_clustered(
     narrow too, so min/max pruning works at both the file and row-group
     level. All JVM: one range exchange + one sort, no Python.
     """
-    writer = (
-        df.repartitionByRange(n_files, *cluster_cols)
-        .sortWithinPartitions(*cluster_cols)
-        .write.mode(mode)
-    )
+    _write_ranged(df, path, cluster_cols, None, n_files, max_records_per_file, mode)
+
+
+def _write_ranged(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    drop_col: str | None,
+    n_files: int,
+    max_records_per_file: int | None,
+    mode: str,
+) -> None:
+    """Shared range-exchange + in-file sort + parquet write (the one
+    writer construction both layout entry points use, so options stay in
+    lockstep)."""
+    out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    if drop_col is not None:
+        out = out.drop(drop_col)
+    writer = out.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
-
 
 
 def _quantile_bounds(df: DataFrame, c: str, n: int, seed: int = 7) -> tuple[Column, list]:
@@ -109,8 +122,17 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits_per_col: int = 8) -> Dat
     here as plain column expressions: one bounded quantile/sample sketch
     per column at plan time, then a pure projection (a 2^bits-term JVM
     fold per column — the one-time write cost of the layout).
+
+    The quantile sketches are driver actions over ``df`` (one per column,
+    plus the write itself re-reads it): if ``df`` is a derived plan —
+    not a bare scan — cache or ``localCheckpoint`` it first, or every
+    sketch re-executes the upstream derivation.
     """
     ncols = len(cols)
+    reserved = {"_zkey", *(f"_zb{j}" for j in range(ncols))}
+    clash = reserved & set(df.columns)
+    if clash:  # silent clobber-then-drop would vanish the caller's column
+        raise ValueError(f"input already has reserved layout columns: {sorted(clash)}")
     out = df
     bnames = []
     for j, c in enumerate(cols):
@@ -154,15 +176,7 @@ def write_zordered(
     dedicated single-column sort would give it (the classic Z-order
     bargain, worth it whenever two predicate shapes share a table)."""
     keyed = zorder_key(df, cols, bits_per_col)
-    writer = (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode(mode)
-    )
-    if max_records_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
+    _write_ranged(keyed, path, ["_zkey"], "_zkey", n_files, max_records_per_file, mode)
 
 
 def rowgroup_admit_stats(path: str, col: str, lo, hi) -> dict:

@@ -74,29 +74,37 @@ def materialize(df) -> int:
     return row["n"]
 
 
-def warmup(spark) -> None:
+def warmup(spark) -> bool:
     """Absorb JVM/codegen/parquet-footer warmup before any timed query —
     otherwise the first query's number carries one-time cost and isn't
-    comparable round-over-round.
+    comparable round-over-round. Returns whether the per-query codegen
+    pass actually ran (the methodology string must not claim it otherwise).
 
     Two layers: two representative queries at the bench SF (JVM/JIT and
     parquet footers), then EVERY query once at the tiny warmup SF.
-    Spark's whole-stage-codegen cache keys on the generated source — which
-    depends on the plan shape, not the input size — so the sf0.001 pass
-    pre-compiles each query's janino classes for pennies. Without it,
-    expression-heavy plans (the PQ family compiles ~10s of generated code)
-    pay their compile inside the timed slot, and best-of-2 reads the
-    compiler, not the engine."""
+    Spark's whole-stage-codegen cache keys on the generated source, which
+    for most of these plans is size-independent — the sf0.001 pass
+    pre-compiles those janino classes for pennies. (Caveat: plans whose
+    physical shape is size-dependent — e.g. a join that broadcasts at the
+    warmup SF but sort-merges at the bench SF — compile different source
+    and still pay their compile in run 1; best-of-RUNS absorbs that.)
+    Without the pass, expression-heavy plans (the PQ family compiles ~10s
+    of generated code) pay their compile inside the timed slot, and
+    best-of-2 reads the compiler, not the engine."""
     from arroyo_spark import queries as q
 
     for name in ("reduce_tumbling", "tpch_q1_pricing"):
         materialize(q.QUERIES[name](spark, SF_DIR))
-    if WARMUP_SF_DIR:
-        for name, fn in q.QUERIES.items():
-            try:
-                materialize(fn(spark, WARMUP_SF_DIR))
-            except Exception as e:  # a warmup miss must never fail the bench
-                print(f"WARN bench: warmup {name}: {e}", file=sys.stderr)
+    if not (WARMUP_SF_DIR and os.path.isdir(WARMUP_SF_DIR)):
+        print(f"WARN bench: no warmup corpus at {WARMUP_SF_DIR!r}; "
+              "codegen pre-compile skipped", file=sys.stderr)
+        return False
+    for name, fn in q.QUERIES.items():
+        try:
+            materialize(fn(spark, WARMUP_SF_DIR))
+        except Exception as e:  # a warmup miss must never fail the bench
+            print(f"WARN bench: warmup {name}: {e}", file=sys.stderr)
+    return True
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -165,7 +173,7 @@ def main() -> None:
     from arroyo_spark.session import get_spark
 
     spark = get_spark(app_name="arroyo_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
-    warmup(spark)
+    codegen_warmed = warmup(spark)
 
     result = None
     for attempt in range(max(GATE_ATTEMPTS, 1)):
@@ -221,8 +229,8 @@ def main() -> None:
                 # the engine, not janino). Comparable to BENCH_r03/r04/r05
                 # (cold-compile noise removed, steady-state unchanged), NOT
                 # to r01/r02 (those used .count(), which pruned projections).
-                "methodology": "checksum-v1, best-of-%d, warmup+codegen"
-                % max(RUNS, 1),
+                "methodology": "checksum-v1, best-of-%d, warmup%s"
+                % (max(RUNS, 1), "+codegen" if codegen_warmed else ""),
             }
         )
     )

@@ -125,6 +125,16 @@ def test_zorder_prunes_on_both_dimensions(layout_dirs, spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_zorder_key_rejects_reserved_column_clash(layout_dirs, spark):
+    """A pre-existing _zkey/_zb* column must raise, not silently vanish
+    through the clobber-then-drop write path."""
+    from arroyo_spark.sources import zorder_key
+
+    _, df = layout_dirs
+    with pytest.raises(ValueError, match="_zkey"):
+        zorder_key(df.withColumn("_zkey", F.lit(1)), ["conv_id", "ts"])
+
+
 def test_range_clustering_is_skew_aware(layout_dirs, spark):
     """repartitionByRange samples quantiles: the hot conversation (synth
     makes ~1/1000 convs 2000-turn hot) cannot stuff every file — file key
@@ -141,6 +151,7 @@ def test_range_clustering_is_skew_aware(layout_dirs, spark):
         mins, maxs = [], []
         for g in range(meta.num_row_groups):
             st = meta.row_group(g).column(idx).statistics
+            assert st is not None and st.has_min_max, f"{f} rg{g}: no conv_id stats"
             mins.append(st.min)
             maxs.append(st.max)
         spans.append((min(mins), max(maxs)))
