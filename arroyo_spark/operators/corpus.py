@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from arroyo_spark.functions.text import normalize_text
+from arroyo_spark.functions.text import normalize_text, word_tokens
 from arroyo_spark.operators.dedup import md5_hash64
 
 
@@ -661,6 +661,163 @@ def role_transition_stats(
     w_row = Window.partitionBy("from_role")
     return counts.withColumn(
         "frac", F.col("n_trans").cast("double") / F.sum("n_trans").over(w_row)
+    )
+
+
+def feature_hash_tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    idf_scale: int = 1 << 12,
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.
+    ICML'09) with smooth TF-IDF weighting: text -> L2-normalized sparse
+    vectors with NO trained vocabulary, no external model, no Python.
+    Completes the text->vector->ANN pipeline engine-natively: the output
+    composes directly with the similarity family (cosine_topk / LSH / IVF
+    take any vector column).
+
+    Per token: ``fp = md5-60bit(token)``; ``bucket = fp mod dim``;
+    ``sign = ±1`` from the next bit of the same hash (signed hashing keeps
+    collisions zero-mean). Weight per (doc, bucket) =
+    Σ tf(doc,tok) · sign(tok) · idf(tok), idf = ln((N+1)/(df+1)) + 1
+    (sklearn's smooth idf), then L2-normalized per doc.
+
+    Determinism contract (the kmeans fixed-point pattern): idf is
+    QUANTIZED to the 1/idf_scale grid and every accumulation happens in
+    exact int64 — tf, sign, idf_int are integers, so per-bucket sums and
+    the per-doc Σw² are order-independent and engine-independent. Only
+    the final two ops (sqrt, divide) touch floating point, and both are
+    IEEE-correctly-rounded functions of exact integers — the DuckDB
+    oracle matches hash-exact, bit for bit. Overflow headroom: idf ≤ ~16
+    nats ⇒ idf_int < 2^16, tf < 2^20 ⇒ |w_int| < 2^37, Σw² < 2^74/dim…
+    practically < 2^60 for real corpora (documents here: < 2^40).
+
+    Scale shape: explode is map-side; every shuffle carries int64 triples,
+    never tokens — (id, fp) for tf, (fp) for df+idf, (id, bucket) for the
+    vector sums, (id) for the norm window. 4 exchanges total, all
+    partial-aggregated. Rows out: ≤ dim per doc (sparse, zero-weight
+    buckets kept only when a collision cancels exactly — both engines
+    produce them identically).
+    """
+    ints = feature_hash_ints(df, id_col, text_col, dim, idf_scale)
+    return ints.select(
+        id_col,
+        "bucket",
+        (F.col("w_int") / F.sqrt(F.col("nsq").cast("double"))).alias("weight"),
+    )
+
+
+def feature_hash_ints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    idf_scale: int = 1 << 12,
+) -> DataFrame:
+    """The exact-integer core of ``feature_hash_tfidf``: sparse rows
+    ``(id_col, bucket, w_int, nsq)`` where ``w_int`` is the un-normalized
+    fixed-point vector entry and ``nsq = Σ w_int²`` per doc (both exact
+    int64). Downstream consumers that keep arithmetic in this domain —
+    ``sparse_cosine_topk``'s dot products — stay order-independent and
+    cross-engine bit-exact; normalization is one IEEE op at the edge."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(text_col)).alias("tok"),
+    ).select("id", md5_hash64(F.col("tok")).alias("fp"))
+    tf = toks.groupBy("id", "fp").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.agg(F.countDistinct("id").alias("n"))
+    dfreq = tf.groupBy("fp").agg(F.count(F.lit(1)).alias("dfq"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "fp",
+        F.floor(
+            (F.log((F.col("n") + F.lit(1.0)) / (F.col("dfq") + F.lit(1.0))) + F.lit(1.0))
+            * F.lit(float(idf_scale))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_int"),
+    )
+    contrib = tf.join(idf, "fp").select(
+        "id",
+        F.pmod(F.col("fp"), F.lit(dim)).cast("int").alias("bucket"),
+        (
+            F.col("tf")
+            * (F.lit(1) - F.lit(2) * F.pmod(F.expr(f"fp div {dim}"), F.lit(2)))
+            * F.col("idf_int")
+        ).alias("c_int"),
+    )
+    w = contrib.groupBy("id", "bucket").agg(F.sum("c_int").alias("w_int"))
+    nrm = Window.partitionBy("id")
+    return (
+        w.withColumn("nsq", F.sum(F.col("w_int") * F.col("w_int")).over(nrm))
+        .filter(F.col("nsq") > 0)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def sparse_cosine_topk(
+    ints: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index top-k retrieval over sparse feature-hash vectors —
+    how text engines do similarity search at corpus scale: instead of
+    scoring every (query, doc) pair over dense vectors, each query's
+    non-zero buckets probe only the docs sharing a bucket (the posting
+    lists), so per-corpus-row work is O(query rows in its buckets).
+
+    ``ints``/``queries`` are ``feature_hash_ints`` relations (queries ⊆
+    corpus or separately hashed with the SAME idf corpus). The query side
+    broadcasts (bounded query set — same contract as ``cosine_topk``'s
+    verifier); the ONE exchange carries (query_id, neighbor_id, partial
+    int sums). cosine = dot_int / (sqrt(nsq_q)·sqrt(nsq_n)): the dot is
+    an exact order-independent int64 sum (products of fixed-point entries
+    — overflow headroom: |w_int| < 2^31 gives Σ < 2^62/dim), the three
+    IEEE ops at the edge are correctly rounded with a fixed evaluation
+    order — the DuckDB twin matches hash-exact. Ties rank by neighbor_id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col("bucket"),
+            F.col("w_int").alias("wq"),
+            F.col("nsq").alias("nsq_q"),
+        )
+    )
+    c = ints.select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col("w_int").alias("wn"),
+        F.col("nsq").alias("nsq_n"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("wq") * F.col("wn")).alias("dot_int"),
+            F.max("nsq_q").alias("nsq_q"),  # constant per id; max = pick it
+            F.max("nsq_n").alias("nsq_n"),
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot_int")
+            / (
+                F.sqrt(F.col("nsq_q").cast("double"))
+                * F.sqrt(F.col("nsq_n").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -2790,6 +2790,126 @@ def q_tool_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_feature_hash",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS fp FROM toks
+), tf AS (
+  SELECT doc_id, fp, count(*) AS tf FROM h GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), idf AS (
+  SELECT fp,
+         cast(floor((ln((nd.n + 1.0) / (d.dfq + 1.0)) + 1.0) * 4096 + 0.5)
+              AS bigint) AS idf_int
+  FROM (SELECT fp, count(*) AS dfq FROM tf GROUP BY 1) d CROSS JOIN nd
+), w AS (
+  SELECT t.doc_id,
+         cast(t.fp % 64 AS int) AS bucket,
+         sum(t.tf * (1 - 2 * ((t.fp // 64) % 2)) * i.idf_int) AS w_int
+  FROM tf t JOIN idf i USING (fp)
+  GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sum(w_int * w_int) AS nsq FROM w GROUP BY 1
+)
+SELECT w.doc_id, w.bucket, w.w_int / sqrt(cast(nrm.nsq AS double)) AS weight
+FROM w JOIN nrm USING (doc_id)
+WHERE nrm.nsq > 0
+""",
+)
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native text vectorization: signed feature hashing + smooth
+    TF-IDF, L2-normalized — sparse (doc_id, bucket, weight) rows with no
+    trained vocabulary and no Python. All accumulation is exact int64
+    (quantized idf, the kmeans fixed-point pattern), so the DuckDB twin is
+    hash-exact despite two engines doing 'floating-point' vectorization —
+    only the final sqrt+divide touch IEEE, both correctly rounded from the
+    same integers. Feeds the similarity family: these vectors are what
+    cosine_topk/LSH/IVF consume when no embedding model is in the loop."""
+    from arroyo_spark.operators.corpus import feature_hash_tfidf
+
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hash_tfidf(d, id_col="doc_id", text_col="text", dim=64)
+
+
+@query(
+    "text_sparse_topk",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS fp FROM toks
+), tf AS (
+  SELECT doc_id, fp, count(*) AS tf FROM h GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), idf AS (
+  SELECT fp,
+         cast(floor((ln((nd.n + 1.0) / (d.dfq + 1.0)) + 1.0) * 4096 + 0.5)
+              AS bigint) AS idf_int
+  FROM (SELECT fp, count(*) AS dfq FROM tf GROUP BY 1) d CROSS JOIN nd
+), w AS (
+  SELECT t.doc_id,
+         cast(t.fp % 64 AS int) AS bucket,
+         sum(t.tf * (1 - 2 * ((t.fp // 64) % 2)) * i.idf_int) AS w_int
+  FROM tf t JOIN idf i USING (fp)
+  GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sum(w_int * w_int) AS nsq FROM w GROUP BY 1
+), ints AS (
+  SELECT w.doc_id, w.bucket, w.w_int, nrm.nsq
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nsq > 0
+), scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         sum(q.w_int * c.w_int) AS dot_int,
+         max(q.nsq) AS nsq_q, max(c.nsq) AS nsq_n
+  FROM ints q JOIN ints c USING (bucket)
+  WHERE q.doc_id < 50 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+), cs AS (
+  SELECT query_id, neighbor_id,
+         dot_int / (sqrt(cast(nsq_q AS double)) * sqrt(cast(nsq_n AS double)))
+           AS cosine
+  FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_text_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text similarity search, end to end: feature-hash the
+    corpus (exact-int TF-IDF vectors), then inverted-index top-k — each
+    query's non-zero buckets probe only docs sharing a bucket, query side
+    broadcast, ONE exchange of (query, neighbor, int partial sums). The
+    dot products stay in exact int64 (order-independent), so this whole
+    text->vector->retrieval chain is hash-exact against DuckDB — an
+    approximate-free certificate for the sparse retrieval shape that at
+    10^12 docs replaces dense brute force. The int vector relation is
+    staged once (localCheckpoint) since corpus AND query sides consume it."""
+    from arroyo_spark.operators.corpus import feature_hash_ints, sparse_cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    ints = feature_hash_ints(d, id_col="doc_id", text_col="text", dim=64)
+    ints = ints.localCheckpoint(eager=True)  # diamond: corpus + query sides
+    return sparse_cosine_topk(ints, ints.filter(F.col("doc_id") < 50), k=5)
+
+
+@query(
     "clustered_scan",
     TRANSCRIPTS_CTE
     + """

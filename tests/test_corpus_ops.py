@@ -531,3 +531,78 @@ def test_validate_transcripts_one_based_turn_idx(spark):
     )
     r = validate_transcripts(df, order=("ts", "turn_idx")).collect()[0]
     assert r.starts_with_user is True and r.wellformed is True
+
+
+def test_feature_hash_tfidf_contract(spark):
+    """Vectorizer contract: unit L2 norm per doc, identical docs get
+    identical vectors with cosine exactly 1, and the output is
+    bit-deterministic across partitionings (the exact-int accumulation
+    claim — float sums would differ per run)."""
+    from arroyo_spark.operators.corpus import feature_hash_tfidf
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "completely different text about spark engines and parquet"),
+        (4, "spark engines shuffle data across executors"),
+        (5, ""),  # no tokens -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = feature_hash_tfidf(df, dim=32).collect()
+
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    assert set(by_doc) == {1, 2, 3, 4}  # doc 5 vanished (no tokens)
+    for d, vec in by_doc.items():
+        assert abs(sum(w * w for w in vec.values()) - 1.0) < 1e-12, d
+    # exact duplicates -> identical sparse vectors, cosine 1
+    assert by_doc[1] == by_doc[2]
+    cos = sum(by_doc[1].get(b, 0.0) * by_doc[2].get(b, 0.0) for b in by_doc[1])
+    assert abs(cos - 1.0) < 1e-12
+    # related docs (3,4 share 'spark'/'engines') more similar than unrelated
+    def cosine(a, b):
+        return sum(a.get(k, 0.0) * b.get(k, 0.0) for k in set(a) | set(b))
+    assert cosine(by_doc[3], by_doc[4]) > cosine(by_doc[1], by_doc[3])
+    # bit-determinism across partitionings: exact row-set equality
+    out2 = feature_hash_tfidf(df.repartition(7, "text"), dim=32).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_sparse_cosine_topk_matches_dense_brute_force(spark):
+    """Inverted-index retrieval == dense brute force over the same
+    vectors: the bucket-join formulation is an execution strategy, not an
+    approximation."""
+    from arroyo_spark.operators.corpus import (
+        feature_hash_ints,
+        feature_hash_tfidf,
+        sparse_cosine_topk,
+    )
+
+    rows = [(i, f"shared stem tokens t{i % 3} t{i % 5} unique{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ints = feature_hash_ints(df, dim=32).localCheckpoint(eager=True)
+    got = sparse_cosine_topk(ints, ints.filter(F.col("doc_id") < 4), k=3).collect()
+
+    dense: dict[int, dict[int, float]] = {}
+    for r in feature_hash_tfidf(df, dim=32).collect():
+        dense.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+
+    def cos(a, b):
+        return sum(dense[a].get(k, 0.0) * dense[b].get(k, 0.0) for k in dense[a])
+
+    for qid in range(4):
+        # brute force: docs sharing >=1 bucket (others have dot 0 and are
+        # unreachable through posting lists — and unrankable ties anyway)
+        cands = sorted(
+            ((cos(qid, n), n) for n in dense if n != qid
+             and set(dense[qid]) & set(dense[n])),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        mine = sorted(
+            [(r["cosine"], r["neighbor_id"]) for r in got if r["query_id"] == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [n for _, n in mine] == [n for _, n in cands], qid
+        for (ca, _), (cb, _) in zip(mine, cands):
+            assert abs(ca - cb) < 1e-12
