@@ -757,6 +757,117 @@ def feature_hash_ints(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_scale: int = 1 << 12,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson-Spärck Jones / Okapi) — THE
+    standard lexical ranking function — by query-by-example: each query
+    row's distinct tokens probe the corpus posting lists and candidates
+    rank by Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·len/avglen)).
+
+    Determinism contract: idf = ln((N-df+0.5)/(df+0.5)+1) is quantized to
+    the 1/score_scale grid (exact int64); the tf-saturation term is a
+    fixed-order IEEE expression of exact integers (tf, len, N, total
+    tokens), so its double value is bit-identical across engines; the
+    per-(doc,term) partial score is floored back to the grid and summed
+    as int64 — order-independent, hash-exact against the DuckDB twin.
+    Ranking on the integer score keeps ties (and therefore row sets)
+    engine-independent; the reported ``score`` is score_int/score_scale.
+
+    Scale shape: tf groupBy (id, fp) then len groupBy (id) — both
+    partial-aggregated int shuffles; df+idf groupBy (fp); the query token
+    set broadcasts (bounded query contract, as the ANN verifiers); the
+    ONE retrieval exchange carries (query_id, neighbor_id, int partial
+    sums). Nothing shuffles token text.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(text_col)).alias("tok"),
+    ).select("id", md5_hash64(F.col("tok")).alias("fp"))
+    tf = toks.groupBy("id", "fp").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = tf.groupBy("id").agg(F.sum("tf").alias("len"))
+    totals = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total_len")
+    )
+    idf = (
+        tf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfq"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "fp",
+            "n_docs",
+            "total_len",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("dfq") + F.lit(0.5))
+                    / (F.col("dfq") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(float(score_scale))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_int"),
+        )
+    )
+    # per-(doc, term) partial score, floored to the grid: every operand is
+    # an exact integer and the expression tree is written in ONE fixed
+    # order on both engines, so the pre-floor double is bit-identical
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (F.col("len") * F.col("n_docs"))
+            / F.col("total_len")
+        )
+    )
+    postings = (
+        tf.join(dlen, "id")
+        .join(idf, "fp")
+        .select(
+            "id",
+            "fp",
+            F.floor(F.col("idf_int") * sat + F.lit(0.5)).cast("long").alias("s_int"),
+        )
+    )
+    q_terms = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(word_tokens(text_col)).alias("tok"),
+        )
+        .select("query_id", md5_hash64(F.col("tok")).alias("fp"))
+        .distinct()
+    )
+    scored = (
+        q_terms.join(postings, "fp")
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("s_int").alias("score_int"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("score_int") / F.lit(float(score_scale))).alias("score"),
+            "rank",
+        )
+    )
+
+
 def sparse_cosine_topk(
     ints: DataFrame,
     queries: DataFrame,

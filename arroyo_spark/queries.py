@@ -2910,6 +2910,66 @@ def q_text_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_topk",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS fp FROM toks
+), tf AS (
+  SELECT doc_id, fp, count(*) AS tf FROM h GROUP BY 1, 2
+), dlen AS (
+  SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_docs, sum(len) AS total_len FROM dlen
+), idf AS (
+  SELECT fp, tot.n_docs, tot.total_len,
+         cast(floor(ln((tot.n_docs - d.dfq + 0.5) / (d.dfq + 0.5) + 1.0)
+                    * 4096 + 0.5) AS bigint) AS idf_int
+  FROM (SELECT fp, count(*) AS dfq FROM tf GROUP BY 1) d CROSS JOIN tot
+), post AS (
+  SELECT t.doc_id, t.fp,
+         cast(floor(i.idf_int * ((t.tf * 2.2) / (t.tf + 1.2 *
+                (0.25 + 0.75 * (l.len * i.n_docs) / i.total_len)))
+              + 0.5) AS bigint) AS s_int
+  FROM tf t JOIN dlen l USING (doc_id) JOIN idf i USING (fp)
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id, fp FROM h WHERE doc_id < 50
+), scored AS (
+  SELECT q.query_id, p.doc_id AS neighbor_id, sum(p.s_int) AS score_int
+  FROM qt q JOIN post p USING (fp)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_int DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score_int / 4096.0 AS score, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (query-by-example over the documents
+    corpus): the standard ranking function of every text search engine,
+    here with an integer-exact score — idf on a fixed-point grid, the
+    tf-saturation term a fixed-order IEEE expression of exact ints,
+    per-(doc,term) partials floored back to the grid and int-summed.
+    Ranking on the integer score makes the top-k row set itself
+    engine-independent, so an inherently float ranking function holds a
+    hash-exact SQL contract."""
+    from arroyo_spark.operators.corpus import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, d.filter(F.col("doc_id") < 50), k=5)
+
+
+@query(
     "clustered_scan",
     TRANSCRIPTS_CTE
     + """

@@ -606,3 +606,34 @@ def test_sparse_cosine_topk_matches_dense_brute_force(spark):
         assert [n for _, n in mine] == [n for _, n in cands], qid
         for (ca, _), (cb, _) in zip(mine, cands):
             assert abs(ca - cb) < 1e-12
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 contract: more shared query terms beats fewer; equal term
+    matches -> the SHORTER doc wins (length normalization); scores
+    bit-deterministic across partitionings (integer-exact ranking)."""
+    from arroyo_spark.operators.corpus import bm25_topk
+
+    rows = [
+        (0, "alpha beta gamma"),                      # the query
+        (1, "alpha beta gamma delta"),                # 3 shared, short
+        (2, "alpha beta gamma " + "pad " * 30),       # 3 shared, long
+        (3, "alpha beta zeta eta"),                   # 2 shared
+        (4, "alpha theta iota kappa"),                # 1 shared
+        (5, "unrelated words entirely here"),         # 0 shared
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, df.filter(F.col("doc_id") == 0), k=5).collect()
+    ranked = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked[0] == 1   # all 3 terms, short: the unambiguous best
+    assert 5 not in ranked  # no shared term -> unreachable via postings
+    scores = {r["neighbor_id"]: r["score"] for r in got}
+    # length normalization: same 3 matches, the padded doc scores lower —
+    # so much lower that 2 clean matches in a short doc (3) legitimately
+    # outrank 3 matches drowned in padding (2): BM25 working as designed
+    assert scores[1] > scores[2]
+    assert scores[3] > scores[4]  # 2 shared terms beat 1 at equal length
+    got2 = bm25_topk(
+        df.repartition(5, "text"), df.filter(F.col("doc_id") == 0), k=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
