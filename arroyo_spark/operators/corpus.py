@@ -868,6 +868,44 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    hybrid-retrieval combiner: fused(q,d) = Σ_systems 1/(k0 + rank_s(q,d))
+    over the union of each system's candidates (a system that didn't
+    surface a pair contributes nothing). Rank-based, so it fuses scores
+    of incomparable scales (BM25 vs cosine) with no normalization model.
+
+    Each input needs (query_id, neighbor_id, rank). Determinism: ranks
+    are exact ints and each 1/(k0+rank) is one correctly-rounded IEEE op;
+    with ≤2 systems the per-pair sum is EXACT regardless of aggregation
+    order (IEEE addition is commutative — only associativity is lost), so
+    the DuckDB twin matches hash-exact. With 3+ systems the sum order
+    could matter in the last ulp; fuse pairwise if bit-parity is needed.
+    Final ties rank by neighbor_id. Scale shape: one union + one
+    (query_id, neighbor_id) exchange over int keys + one top-k window —
+    candidate lists are already top-k-bounded by the input systems.
+    """
+    cols = ["query_id", "neighbor_id", "rank"]
+    u = rankings[0].select(*cols)
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(*cols))
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id", "rrf", "fused_rank")
+    )
+
+
 def sparse_cosine_topk(
     ints: DataFrame,
     queries: DataFrame,

@@ -2970,6 +2970,116 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_rrf_topk",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS fp FROM toks
+), tf AS (
+  SELECT doc_id, fp, count(*) AS tf FROM h GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), sidf AS (
+  SELECT fp,
+         cast(floor((ln((nd.n + 1.0) / (d.dfq + 1.0)) + 1.0) * 4096 + 0.5)
+              AS bigint) AS idf_int
+  FROM (SELECT fp, count(*) AS dfq FROM tf GROUP BY 1) d CROSS JOIN nd
+), w AS (
+  SELECT t.doc_id,
+         cast(t.fp % 64 AS int) AS bucket,
+         sum(t.tf * (1 - 2 * ((t.fp // 64) % 2)) * i.idf_int) AS w_int
+  FROM tf t JOIN sidf i USING (fp)
+  GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sum(w_int * w_int) AS nsq FROM w GROUP BY 1
+), ints AS (
+  SELECT w.doc_id, w.bucket, w.w_int, nrm.nsq
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nsq > 0
+), s_scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         sum(q.w_int * c.w_int) AS dot_int,
+         max(q.nsq) AS nsq_q, max(c.nsq) AS nsq_n
+  FROM ints q JOIN ints c USING (bucket)
+  WHERE q.doc_id < 50 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+), s_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           dot_int / (sqrt(cast(nsq_q AS double)) * sqrt(cast(nsq_n AS double)))
+           DESC, neighbor_id) AS rank
+  FROM s_scored
+), dlen AS (
+  SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_docs, sum(len) AS total_len FROM dlen
+), bidf AS (
+  SELECT fp, tot.n_docs, tot.total_len,
+         cast(floor(ln((tot.n_docs - d.dfq + 0.5) / (d.dfq + 0.5) + 1.0)
+                    * 4096 + 0.5) AS bigint) AS idf_int
+  FROM (SELECT fp, count(*) AS dfq FROM tf GROUP BY 1) d CROSS JOIN tot
+), post AS (
+  SELECT t.doc_id, t.fp,
+         cast(floor(i.idf_int * ((t.tf * 2.2) / (t.tf + 1.2 *
+                (0.25 + 0.75 * (l.len * i.n_docs) / i.total_len)))
+              + 0.5) AS bigint) AS s_int
+  FROM tf t JOIN dlen l USING (doc_id) JOIN bidf i USING (fp)
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id, fp FROM h WHERE doc_id < 50
+), b_scored AS (
+  SELECT q.query_id, p.doc_id AS neighbor_id, sum(p.s_int) AS score_int
+  FROM qt q JOIN post p USING (fp)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY 1, 2
+), b_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_int DESC, neighbor_id) AS rank
+  FROM b_scored
+), unioned AS (
+  SELECT query_id, neighbor_id, rank FROM b_ranked WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, neighbor_id, rank FROM s_ranked WHERE rank <= 10
+), fused AS (
+  SELECT query_id, neighbor_id, sum(1.0 / (60.0 + rank)) AS rrf
+  FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, neighbor_id) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 5
+""",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: BM25 (lexical) and sparse TF-IDF cosine
+    (vector) top-10 lists fused by reciprocal-rank fusion into a final
+    top-5 — the standard two-tower search stack, entirely engine-native.
+    Both underlying rankings are integer-exact (their own oracle-certified
+    contracts), ranks feed 1/(60+rank) terms whose ≤2-way sums are exact
+    by IEEE commutativity — so even the FUSED ranking holds a hash-exact
+    SQL contract. Three certified systems composing bit-reproducibly."""
+    from arroyo_spark.operators.corpus import (
+        bm25_topk,
+        feature_hash_ints,
+        rrf_fuse,
+        sparse_cosine_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ints = feature_hash_ints(d, id_col="doc_id", text_col="text", dim=64)
+    ints = ints.localCheckpoint(eager=True)  # corpus + query sides
+    sp = sparse_cosine_topk(ints, ints.filter(F.col("doc_id") < 50), k=10)
+    bm = bm25_topk(d, d.filter(F.col("doc_id") < 50), k=10)
+    return rrf_fuse([bm, sp], k0=60, k=5)
+
+
+@query(
     "clustered_scan",
     TRANSCRIPTS_CTE
     + """

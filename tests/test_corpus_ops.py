@@ -637,3 +637,27 @@ def test_bm25_topk_semantics(spark):
         df.repartition(5, "text"), df.filter(F.col("doc_id") == 0), k=5
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF contract: a pair surfaced by BOTH systems outranks pairs one
+    system loved (rank 1 once: 1/61 < 1/63 + 1/64); exact expected
+    values; ties break by neighbor_id."""
+    from arroyo_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 3), (1, 12, 4), (1, 13, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {r["neighbor_id"]: (r["rrf"], r["fused_rank"])
+           for r in rrf_fuse([a, b], k0=60, k=4).collect()}
+    assert got[11][0] == 1 / 62 + 1 / 63   # both systems
+    assert got[12][0] == 1 / 63 + 1 / 64
+    assert got[10][0] == 1 / 61            # one system's #1
+    assert got[13][0] == 1 / 61
+    assert got[11][1] == 1 and got[12][1] == 2
+    assert got[10][1] == 3 and got[13][1] == 4  # equal rrf -> id tiebreak
