@@ -687,12 +687,18 @@ def feature_hash_tfidf(
     Determinism contract (the kmeans fixed-point pattern): idf is
     QUANTIZED to the 1/idf_scale grid and every accumulation happens in
     exact int64 — tf, sign, idf_int are integers, so per-bucket sums and
-    the per-doc Σw² are order-independent and engine-independent. Only
-    the final two ops (sqrt, divide) touch floating point, and both are
-    IEEE-correctly-rounded functions of exact integers — the DuckDB
-    oracle matches hash-exact, bit for bit. Overflow headroom: idf ≤ ~16
-    nats ⇒ idf_int < 2^16, tf < 2^20 ⇒ |w_int| < 2^37, Σw² < 2^74/dim…
-    practically < 2^60 for real corpora (documents here: < 2^40).
+    the per-doc Σw² are order-independent and engine-independent; the
+    final sqrt/divide are IEEE-correctly-rounded functions of those
+    exact ints. Caveat stated honestly: the quantization itself evaluates
+    ``ln`` (JVM Math.log vs libm — a documented ≤1-ulp discrepancy, see
+    char_ngram_entropy), so a (N, df) pair landing within 1 ulp of a grid
+    midpoint COULD flip idf_int by 1 between engines; the grid makes that
+    a measure-zero set, and the deterministic corpora here verify clean.
+    Overflow is GUARDED, not assumed: |w_int| must stay under
+    sqrt(2^62/dim) so Σw² and downstream dot products fit int64 — a
+    pathological doc (e.g. one rare token repeated 10^5×) raises loudly
+    instead of letting Spark's non-ANSI sum wrap while DuckDB's HUGEINT
+    doesn't (a silent oracle divergence).
 
     Scale shape: explode is map-side; every shuffle carries int64 triples,
     never tokens — (id, fp) for tf, (fp) for df+idf, (id, bucket) for the
@@ -709,24 +715,37 @@ def feature_hash_tfidf(
     )
 
 
+def term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared tokenize → 60-bit-hash → per-doc term-frequency pass:
+    ``(id, fp, tf)``. The dominant map-side cost of every lexical
+    operator; compute it ONCE (and localCheckpoint it) when composing
+    feature hashing with BM25 in one plan."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(text_col)).alias("tok"),
+    ).select("id", md5_hash64(F.col("tok")).alias("fp"))
+    return toks.groupBy("id", "fp").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def feature_hash_ints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 64,
     idf_scale: int = 1 << 12,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """The exact-integer core of ``feature_hash_tfidf``: sparse rows
     ``(id_col, bucket, w_int, nsq)`` where ``w_int`` is the un-normalized
     fixed-point vector entry and ``nsq = Σ w_int²`` per doc (both exact
     int64). Downstream consumers that keep arithmetic in this domain —
     ``sparse_cosine_topk``'s dot products — stay order-independent and
-    cross-engine bit-exact; normalization is one IEEE op at the edge."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_tokens(text_col)).alias("tok"),
-    ).select("id", md5_hash64(F.col("tok")).alias("fp"))
-    tf = toks.groupBy("id", "fp").agg(F.count(F.lit(1)).alias("tf"))
+    cross-engine bit-exact; normalization is one IEEE op at the edge.
+    Pass a precomputed ``tf`` (from ``term_freqs``) to share the
+    tokenize→hash→count pass with other consumers (e.g. ``bm25_topk`` in
+    a hybrid plan)."""
+    if tf is None:
+        tf = term_freqs(df, id_col, text_col)
     n_docs = tf.agg(F.countDistinct("id").alias("n"))
     dfreq = tf.groupBy("fp").agg(F.count(F.lit(1)).alias("dfq"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
@@ -749,6 +768,22 @@ def feature_hash_ints(
         ).alias("c_int"),
     )
     w = contrib.groupBy("id", "bucket").agg(F.sum("c_int").alias("w_int"))
+    # overflow guard (see docstring): beyond this bound Σw² / downstream
+    # dot products can wrap int64 in Spark (ANSI off) while DuckDB's
+    # HUGEINT keeps going — fail loudly instead of silently diverging
+    bound = int(((1 << 62) // max(dim, 1)) ** 0.5)
+    w = w.withColumn(
+        "w_int",
+        F.when(F.abs(F.col("w_int")) < F.lit(bound), F.col("w_int")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"feature_hash_ints: |w_int| >= {bound} would overflow the "
+                    "exact-int64 contract (pathological token repetition?); "
+                    "raise dim or pre-clamp tf"
+                )
+            ).cast("long")
+        ),
+    )
     nrm = Window.partitionBy("id")
     return (
         w.withColumn("nsq", F.sum(F.col("w_int") * F.col("w_int")).over(nrm))
@@ -766,6 +801,8 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     score_scale: int = 1 << 12,
+    tf: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """BM25 top-k retrieval (Robertson-Spärck Jones / Okapi) — THE
     standard lexical ranking function — by query-by-example: each query
@@ -777,21 +814,30 @@ def bm25_topk(
     fixed-order IEEE expression of exact integers (tf, len, N, total
     tokens), so its double value is bit-identical across engines; the
     per-(doc,term) partial score is floored back to the grid and summed
-    as int64 — order-independent, hash-exact against the DuckDB twin.
-    Ranking on the integer score keeps ties (and therefore row sets)
-    engine-independent; the reported ``score`` is score_int/score_scale.
+    as int64 — order-independent, hash-exact against the DuckDB twin
+    (same honest ln-quantization caveat as ``feature_hash_tfidf``: a
+    grid-midpoint tie could flip one unit across engines — measure-zero,
+    verified clean on these corpora). Ranking on the integer score keeps
+    ties (and therefore row sets) engine-independent; the reported
+    ``score`` is score_int/score_scale. Overflow headroom is structural
+    here (s_int ≤ (k1+1)·idf_int < 2^18; query term counts bound sums
+    far below 2^63), so no runtime guard is needed.
 
     Scale shape: tf groupBy (id, fp) then len groupBy (id) — both
     partial-aggregated int shuffles; df+idf groupBy (fp); the query token
     set broadcasts (bounded query contract, as the ANN verifiers); the
     ONE retrieval exchange carries (query_id, neighbor_id, int partial
-    sums). Nothing shuffles token text.
+    sums). Nothing shuffles token text. Pass a precomputed ``tf``
+    (``term_freqs``) to share the tokenize pass across operators.
+
+    ``exclude_self`` drops candidates whose id EQUALS the query id — the
+    query-by-example convention where queries ⊆ corpus. Set it False when
+    ``queries`` is a SEPARATE relation whose id space may coincide with
+    corpus ids: there an id match is a different document, and silently
+    dropping it would be wrong.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_tokens(text_col)).alias("tok"),
-    ).select("id", md5_hash64(F.col("tok")).alias("fp"))
-    tf = toks.groupBy("id", "fp").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = term_freqs(df, id_col, text_col)
     dlen = tf.groupBy("id").agg(F.sum("tf").alias("len"))
     totals = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total_len")
@@ -847,11 +893,11 @@ def bm25_topk(
         .select("query_id", md5_hash64(F.col("tok")).alias("fp"))
         .distinct()
     )
-    scored = (
-        q_terms.join(postings, "fp")
-        .filter(F.col("query_id") != F.col("id"))
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.sum("s_int").alias("score_int"))
+    joined = q_terms.join(postings, "fp")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("id"))
+    scored = joined.groupBy("query_id", F.col("id").alias("neighbor_id")).agg(
+        F.sum("s_int").alias("score_int")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_int").desc(), F.col("neighbor_id")
@@ -889,6 +935,8 @@ def rrf_fuse(
     (query_id, neighbor_id) exchange over int keys + one top-k window —
     candidate lists are already top-k-bounded by the input systems.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking DataFrame")
     cols = ["query_id", "neighbor_id", "rank"]
     u = rankings[0].select(*cols)
     for r in rankings[1:]:
@@ -911,6 +959,7 @@ def sparse_cosine_topk(
     queries: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Inverted-index top-k retrieval over sparse feature-hash vectors —
     how text engines do similarity search at corpus scale: instead of
@@ -942,10 +991,12 @@ def sparse_cosine_topk(
         F.col("w_int").alias("wn"),
         F.col("nsq").alias("nsq_n"),
     )
+    qc = q.join(c, "bucket")
+    if exclude_self:  # query-by-example (queries ⊆ corpus); pass False for
+        # a separate query relation whose ids may coincide with corpus ids
+        qc = qc.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
+        qc.groupBy("query_id", "neighbor_id")
         .agg(
             F.sum(F.col("wq") * F.col("wn")).alias("dot_int"),
             F.max("nsq_q").alias("nsq_q"),  # constant per id; max = pick it

@@ -3069,13 +3069,17 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_hash_ints,
         rrf_fuse,
         sparse_cosine_topk,
+        term_freqs,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    ints = feature_hash_ints(d, id_col="doc_id", text_col="text", dim=64)
+    # ONE tokenize->hash->tf pass feeds both towers (the dominant map-side
+    # cost); staged so neither tower recomputes it
+    tf = term_freqs(d, "doc_id", "text").localCheckpoint(eager=True)
+    ints = feature_hash_ints(d, id_col="doc_id", text_col="text", dim=64, tf=tf)
     ints = ints.localCheckpoint(eager=True)  # corpus + query sides
     sp = sparse_cosine_topk(ints, ints.filter(F.col("doc_id") < 50), k=10)
-    bm = bm25_topk(d, d.filter(F.col("doc_id") < 50), k=10)
+    bm = bm25_topk(d, d.filter(F.col("doc_id") < 50), k=10, tf=tf)
     return rrf_fuse([bm, sp], k0=60, k=5)
 
 

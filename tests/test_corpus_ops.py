@@ -661,3 +661,18 @@ def test_rrf_fuse_semantics(spark):
     assert got[13][0] == 1 / 61
     assert got[11][1] == 1 and got[12][1] == 2
     assert got[10][1] == 3 and got[13][1] == 4  # equal rrf -> id tiebreak
+
+
+def test_feature_hash_overflow_guard_raises_loudly(spark):
+    """A pathological doc (one rare token repeated ~50k times) pushes
+    |w_int| past the int64-safety bound: the engine must raise with a
+    clear message, not let Spark's non-ANSI sum wrap while the DuckDB
+    oracle (HUGEINT) doesn't — a silent divergence."""
+    from arroyo_spark.operators.corpus import feature_hash_tfidf
+
+    df = spark.createDataFrame(
+        [(1, "spamtoken " * 50_000), (2, "a normal document here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="overflow the"):
+        feature_hash_tfidf(df, dim=64).collect()
