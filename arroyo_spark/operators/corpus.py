@@ -89,41 +89,40 @@ def ngram_repetition(
     signal for machine-generated or boilerplate-heavy text: ratio =
     1 - distinct_ngrams / total_ngrams over the doc's own word n-grams.
 
-    Pure per-row JVM expressions, no shuffle, no Python — with one
-    subtlety: Catalyst COLLAPSES chained projections, so naively
-    referencing the shingle array three times (filter + distinct + size)
-    would inline the whole tokenize+shingle tree per reference (~6x the
-    work; measured 15.5s vs 1.1s at sf0.1). The shingle array is instead
-    computed ONCE inside an ``explode(transform(array(ng), a -> struct))``
-    — the lambda variable is a let-binding and the Generate node's output
-    is a real attribute Catalyst will not re-derive. Docs with fewer than
-    ``n`` tokens have no n-grams and are excluded, matching the shingle
-    family's contract. Returns (id, n_ngrams, repeat_ratio)."""
-    from arroyo_spark.functions.text import word_tokens
-    from arroyo_spark.operators.dedup import shingles_of_tokens
+    r6 (guide §4.2): runs per document in an Arrow-batched kernel — the
+    interpreted tokenize/shingle/array_distinct HOF chain leaves the JVM.
+    Arithmetic parity: n_ngrams and the distinct count are exact ints and
+    ``1.0 - (distinct / total)`` is the same two IEEE ops as the old
+    ``lit(1.0) - size(array_distinct(a)) / size(a)``. Docs with fewer
+    than ``n`` tokens have no n-grams and are excluded, matching the
+    shingle family's contract. Returns (id, n_ngrams, repeat_ratio)."""
+    import pandas as pd
 
-    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_t"))
-    ng = shingles_of_tokens(F.col("_t"), n)
-    stats = F.explode(
-        F.transform(
-            F.array(ng),
-            lambda a: F.struct(
-                F.size(a).cast("long").alias("n_ngrams"),
-                # the size==0 guard runs INSIDE the lambda: ANSI mode makes
-                # x/0 an error, and rows are only filtered downstream
-                F.when(
-                    F.size(a) > 0,
-                    F.lit(1.0) - F.size(F.array_distinct(a)) / F.size(a),
+    from arroyo_spark.operators.dedup import _py_word_tokens
+
+    idt = dict(df.dtypes)[id_col]
+
+    def stats(batches):
+        for pdf in batches:
+            ids_out, n_out, r_out = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_word_tokens(text)
+                total = len(toks) - n + 1
+                if total < 1:
+                    continue
+                grams = [" ".join(toks[i : i + n]) for i in range(total)]
+                ids_out.append(did)
+                n_out.append(total)
+                r_out.append(1.0 - (len(set(grams)) / total))
+            if ids_out:
+                yield pd.DataFrame(
+                    {id_col: ids_out, "n_ngrams": n_out, "repeat_ratio": r_out}
                 )
-                .otherwise(F.lit(0.0))
-                .alias("repeat_ratio"),
-            ),
-        )
-    )
-    return (
-        toks.select(F.col(id_col), stats.alias("_s"))
-        .filter(F.col("_s.n_ngrams") > 0)
-        .select(id_col, "_s.n_ngrams", "_s.repeat_ratio")
+
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        stats, f"{id_col} {idt}, n_ngrams long, repeat_ratio double"
     )
 
 
@@ -197,10 +196,18 @@ def ngram_decontaminate(
     shingle count rides the SAME shuffle as the hit count (one broadcast
     left join + one groupBy), so the scale shape is unchanged.
     """
-    from arroyo_spark.operators.dedup import _shingle_rows
+    # r6 (guide §4.2): per-doc distinct shingles from the Arrow-batched
+    # kernel — the train side's corpus-wide distinct() exchange collapses
+    # into the map side (same row set; the bench side still needs its
+    # tiny cross-doc distinct before broadcasting)
+    from arroyo_spark.operators.dedup import _distinct_shingle_rows
 
-    bench_sh = _shingle_rows(bench, id_col, text_col, shingle_n).select("shingle").distinct()
-    train_sh = _shingle_rows(train, id_col, text_col, shingle_n).distinct()
+    bench_sh = (
+        _distinct_shingle_rows(bench, id_col, text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = _distinct_shingle_rows(train, id_col, text_col, shingle_n)
     if frac_threshold is not None:
         hits = (
             train_sh.join(
@@ -271,13 +278,17 @@ def duplicate_span_stats(
     Returns (id, n_spans, n_dup_spans, dup_frac) with n_spans counting
     DISTINCT spans (multiplicity within a doc is ngram_repetition's job).
     """
-    from arroyo_spark.operators.dedup import _shingle_rows
+    # r6 (guide §4.2): per-doc distinct span hashes come from an
+    # Arrow-batched kernel — the explode + per-occurrence md5 + the
+    # corpus-wide distinct() exchange all collapse into the map side
+    # (distinctness within a doc needs no shuffle; the row SET is
+    # identical, see _distinct_shingle_hashes)
+    from arroyo_spark.operators.dedup import _distinct_shingle_hashes
 
-    sh = (
-        _shingle_rows(df, id_col, text_col, span_n)
-        .select(F.col(id_col), md5_hash64(F.col("shingle")).alias("_sh"))
-        .distinct()
-    )
+    sh = _distinct_shingle_hashes(df, id_col, text_col, span_n)
+    # staged once: the frequency agg and the stats join both consume it;
+    # unstaged, Catalyst would run the kernel twice
+    sh = sh.localCheckpoint(eager=False)
     freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_docs"))
     return (
         sh.join(freq, "_sh")
@@ -719,12 +730,48 @@ def term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Shared tokenize → 60-bit-hash → per-doc term-frequency pass:
     ``(id, fp, tf)``. The dominant map-side cost of every lexical
     operator; compute it ONCE (and localCheckpoint it) when composing
-    feature hashing with BM25 in one plan."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_tokens(text_col)).alias("tok"),
-    ).select("id", md5_hash64(F.col("tok")).alias("fp"))
-    return toks.groupBy("id", "fp").agg(F.count(F.lit(1)).alias("tf"))
+    feature hashing with BM25 in one plan.
+
+    r6 (guide §4.2): runs per document in an Arrow-batched kernel — the
+    token explode, per-occurrence md5 and the (id, fp) count exchange all
+    collapse into the map side (term frequency is a PER-DOC aggregate, so
+    no shuffle is fundamentally required). Python tokenizer/hash are the
+    exact twins of ``word_tokens``/``md5_hash64`` (see
+    ``dedup._py_word_tokens``); counts are exact ints — identical rows."""
+    import pandas as pd
+
+    from arroyo_spark.operators.dedup import _py_md5_h64, _py_word_tokens
+
+    idt = dict(df.dtypes)[id_col]
+
+    def freqs(batches):
+        import numpy as np
+        from collections import Counter
+
+        for pdf in batches:
+            ids_out, fp_out, tf_out = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_word_tokens(text)
+                if not toks:
+                    continue
+                counts = Counter(_py_md5_h64(t) for t in toks)
+                ids_out.append(np.full(len(counts), did))
+                fp_out.append(np.fromiter(counts.keys(), dtype=np.int64, count=len(counts)))
+                tf_out.append(np.fromiter(counts.values(), dtype=np.int64, count=len(counts)))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids_out),
+                        "fp": np.concatenate(fp_out),
+                        "tf": np.concatenate(tf_out),
+                    }
+                )
+
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        freqs, f"id {idt}, fp long, tf long"
+    )
 
 
 def feature_hash_ints(
@@ -745,7 +792,9 @@ def feature_hash_ints(
     tokenize→hash→count pass with other consumers (e.g. ``bm25_topk`` in
     a hybrid plan)."""
     if tf is None:
-        tf = term_freqs(df, id_col, text_col)
+        # staged: the diamond below (n_docs agg + df agg + contrib join)
+        # would otherwise re-run the term_freqs kernel per consumer
+        tf = term_freqs(df, id_col, text_col).localCheckpoint(eager=False)
     n_docs = tf.agg(F.countDistinct("id").alias("n"))
     dfreq = tf.groupBy("fp").agg(F.count(F.lit(1)).alias("dfq"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
@@ -837,7 +886,9 @@ def bm25_topk(
     dropping it would be wrong.
     """
     if tf is None:
-        tf = term_freqs(df, id_col, text_col)
+        # staged: dlen/idf/postings all consume tf — unstaged, each would
+        # re-run the term_freqs kernel
+        tf = term_freqs(df, id_col, text_col).localCheckpoint(eager=False)
     dlen = tf.groupBy("id").agg(F.sum("tf").alias("len"))
     totals = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total_len")

@@ -24,6 +24,8 @@ Scale notes (10^9+ docs):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +35,46 @@ from arroyo_spark.functions.text import normalize_text, word_tokens
 def md5_hash64(col: Column) -> Column:
     """Deterministic 60-bit hash, identical in Spark and DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Python twins of the JVM text primitives, used by the Arrow-batched kernels
+# below (guide §4.2). Parity contracts:
+# - _py_word_tokens == word_tokens: lower + split on [^a-z0-9]+ + drop
+#   empties. The character classes are pure-ASCII, where Java and Python
+#   regex/casing agree exactly; the oracle gate verifies end to end.
+# - _py_md5_h64 == md5_hash64: md5 hex, first 15 chars, base-16 -> int64.
+#   hashlib.md5 and JVM/DuckDB md5 are the same RFC 1321 function.
+# ---------------------------------------------------------------------------
+_TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+# per-worker token-hash memo: vocabularies are tiny next to token
+# occurrences, so one md5 per DISTINCT token amortizes across every batch
+# a reused Python worker sees (guide §4.5); bounded to keep RSS flat
+_H64_MEMO: dict[str, str] = {}
+_H64_MEMO_CAP = 1_000_000
+
+
+def _py_word_tokens(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return [t for t in _TOKEN_SPLIT_RE.split(text.lower()) if t]
+
+
+def _py_md5_hex(s: str) -> str:
+    import hashlib
+
+    h = _H64_MEMO.get(s)
+    if h is None:
+        if len(_H64_MEMO) >= _H64_MEMO_CAP:
+            _H64_MEMO.clear()
+        h = hashlib.md5(s.encode("utf-8")).hexdigest()
+        _H64_MEMO[s] = h
+    return h
+
+
+def _py_md5_h64(s: str) -> int:
+    return int(_py_md5_hex(s)[:15], 16)
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
@@ -64,6 +106,79 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return (
         df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
         .select(F.col(id_col), F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle"))
+    )
+
+
+def _distinct_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``_shingle_rows(...).distinct()`` computed per document in an
+    Arrow-batched kernel (guide §4.2): per-doc distinct needs no
+    corpus-wide exchange, and the tokenize+shingle pass leaves the JVM
+    HOF path. Same (id, shingle) row SET — the Python tokenizer is the
+    exact twin of ``word_tokens`` (see ``_py_word_tokens``)."""
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+
+    def rows(batches):
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_word_tokens(text)
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    seen.add(" ".join(toks[i : i + n]))
+                ids_out.extend([did] * len(seen))
+                sh_out.extend(seen)
+            if ids_out:
+                yield pd.DataFrame({id_col: ids_out, "shingle": sh_out})
+
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        rows, f"{id_col} {idt}, shingle string"
+    )
+
+
+def _distinct_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_col: str = "_sh"
+) -> DataFrame:
+    """Per-doc DISTINCT 60-bit span hashes (id, out_col) — the kernel twin
+    of ``_shingle_rows >> md5_hash64 >> distinct``: hashing happens in the
+    kernel (memoized md5), distinctness per doc needs no exchange, and
+    only (id, int64) rows ever reach the JVM."""
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+
+    def rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids_out, h_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_word_tokens(text)
+                if len(toks) < n:
+                    continue
+                seen = {
+                    _py_md5_h64(" ".join(toks[i : i + n]))
+                    for i in range(len(toks) - n + 1)
+                }
+                ids_out.append(np.full(len(seen), did))
+                h_out.append(np.fromiter(seen, dtype=np.int64, count=len(seen)))
+            if ids_out:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids_out), out_col: np.concatenate(h_out)}
+                )
+
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        rows, f"{id_col} {idt}, {out_col} long"
     )
 
 
@@ -102,22 +217,52 @@ def minhash_signatures(
             f"n_perm={n_perm} out of range [1, 112]: h1 + i*h2 overflows int64 "
             "past i=111 (h1 is 60-bit, h2 is 56-bit)"
         )
-    sh = _shingle_rows(df, id_col, text_col, shingle_n)
-    m = F.md5(F.col("shingle"))
-    based = sh.select(
-        F.col(id_col),
-        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(m, 17, 14), 16, 10).cast("long").alias("_h2"),
-    )
-    perms = based.select(
-        id_col, "_h1", "_h2",
-        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm"),
-    )
-    h = F.pmod(F.col("_h1") + F.col("perm") * F.col("_h2"), F.lit(1 << 60))
-    return (
-        perms.withColumn("h", h)
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+
+    # r6 (guide §4.2): the whole signature pipeline — shingle explode,
+    # per-occurrence md5, the n_perm-way explode and the (id, perm) min
+    # aggregation — runs per document inside one Arrow-batched kernel:
+    # no shingle or permutation rows ever exist JVM-side, the exchange
+    # carries exactly the n_perm output rows per doc. Arithmetic parity:
+    # h1/h2 are the same md5-hex substrings (_py_md5_hex), the
+    # (h1 + i*h2) % 2^60 walk is exact int64 (bounded < 2^63 by the
+    # n_perm guard), and min() over exact ints is order-independent.
+    def sigs(batches):
+        import numpy as np
+
+        perm_arr = np.arange(n_perm, dtype=np.int64)
+        for pdf in batches:
+            ids_out, perms_out, mins_out = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_word_tokens(text)
+                if len(toks) < shingle_n:
+                    continue
+                hexes = [
+                    _py_md5_hex(" ".join(toks[i : i + shingle_n]))
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+                h1 = np.array([int(h[:15], 16) for h in hexes], dtype=np.int64)
+                h2 = np.array([int(h[16:30], 16) for h in hexes], dtype=np.int64)
+                # (n_sh, n_perm) walk — int64 exact, no overflow by guard
+                hv = (h1[:, None] + perm_arr[None, :] * h2[:, None]) % (1 << 60)
+                ids_out.append(np.full(n_perm, did))
+                perms_out.append(perm_arr.astype(np.int32))
+                mins_out.append(hv.min(axis=0))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "perm": np.concatenate(perms_out),
+                        "minhash": np.concatenate(mins_out),
+                    }
+                )
+
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        sigs, f"{id_col} {idt}, perm int, minhash long"
     )
 
 
@@ -190,20 +335,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     algorithm. Bit j is 1 iff sum over tokens of (+1 if token-hash bit j
     else -1) is positive.
     """
-    toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("tok"))
-    h = md5_hash64(F.col("tok"))
-    bitpos = toks.withColumn("h", h).select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    )
-    # h is non-negative (60-bit), so logical == arithmetic shift; expr form
-    # because the DSL shift functions only take literal shift amounts
-    bit = F.expr("shiftright(h, cast(j AS int)) & 1")
-    signed = bitpos.withColumn("c", (bit * 2 - 1))
-    votes = signed.groupBy(id_col, "j").agg(F.sum("c").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, cast(j AS int))")).otherwise(F.lit(0))
-        ).alias("simhash")
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+
+    # r6 (guide §4.2): the token x bits explode (previously N_tokens * bits
+    # JVM rows through two aggregations) runs per document in one
+    # Arrow-batched kernel — exact integer votes, so the result is
+    # bit-identical; the exchange carries one row per doc.
+    def sims(batches):
+        import numpy as np
+
+        jj = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids_out, sh_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _py_word_tokens(text)
+                if not toks:
+                    continue  # explode drops token-less docs
+                h = np.array([_py_md5_h64(t) for t in toks], dtype=np.int64)
+                bitm = (h[:, None] >> jj[None, :]) & 1  # h >= 0: logical shift
+                votes = (2 * bitm - 1).sum(axis=0)
+                ids_out.append(did)
+                sh_out.append(int(((votes > 0).astype(np.int64) << jj).sum()))
+            if ids_out:
+                yield pd.DataFrame({id_col: ids_out, "simhash": sh_out})
+
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        sims, f"{id_col} {idt}, simhash long"
     )
 
 
@@ -221,7 +382,12 @@ def ngram_jaccard_pairs(
     shingle buckets — at corpus scale run it on LSH candidates, not all
     pairs (compose: minhash_candidates >> join >> this).
     """
-    sh = _shingle_rows(df, id_col, text_col, shingle_n).distinct()
+    # r6: per-doc distinct shingles from the Arrow-batched kernel (same
+    # row set as _shingle_rows().distinct(); the corpus-wide exchange and
+    # the interpreted tokenize/shingle HOFs both collapse into the map side)
+    sh = _distinct_shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -67,8 +67,12 @@ def _seq_norm(vec: list[float]) -> float:
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, dim: int | None) -> DataFrame:
     """Project to (_id, _vec double[], _norm), zero-norm rows excluded
-    (the uniform degenerate-vector contract of the similarity family)."""
-    return (
+    (the uniform degenerate-vector contract of the similarity family).
+    ``_spread`` fans a small scan out across cores so the Arrow kernels
+    downstream parallelize (no-op at cluster scale — guide §2.5)."""
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(
         with_norm(df, vec_col, dim)
         .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("_id"), "_vec", "_norm")
@@ -85,38 +89,95 @@ def _cents_row(df: DataFrame, cents: list[Centroid]) -> DataFrame:
     )
 
 
-# argmin over named_struct(negsim, cell): ascending struct order is exactly
-# row_number() over (cosine DESC, cell ASC) — same near-tie discipline as
-# ivf_ann_topk's probe pick, hash-proven there.
-_ASSIGN_EXPR = (
-    "element_at(array_sort(transform(sequence(0, size(_cells) - 1), i -> named_struct("
-    "'negsim', -(aggregate(zip_with(_vec, element_at(_cvs, i + 1), (x, y) -> x * y), 0.0D,"
-    " (a, x) -> a + x) / (_norm * element_at(_cns, i + 1))), "
-    "'cell', element_at(_cells, i + 1)))), 1).cell"
-)
-
-
 def kmeans_assign(v: DataFrame, cents: list[Centroid]) -> DataFrame:
     """Attach ``cell`` = argmax-cosine centroid to a prepped (_id, _vec,
-    _norm) frame. Pure projection: all k cells scored inside one transform
-    over the broadcast centroid row."""
-    return v.join(F.broadcast(_cents_row(v, cents))).select(
-        "_id", "_vec", "_norm", F.expr(_ASSIGN_EXPR).alias("cell")
+    _norm) frame.
+
+    r6 (guide §4.2): the per-row k-cell scoring — previously an
+    interpreted ``array_sort(transform(...aggregate(zip_with(...))))``
+    projection against a broadcast centroid row — runs as an
+    Arrow-batched numpy kernel with the same sequential dimension-axis
+    accumulation (bit-identical to the HOF fold / DuckDB
+    list_dot_product). Tie parity: centroids are pre-sorted by cell id,
+    so np.argmin's first-minimum == the old ascending struct(negsim,
+    cell) sort; Spark and numpy both compare -0.0 == 0.0."""
+    import numpy as np
+    import pandas as pd
+
+    from arroyo_spark.operators.similarity import _np_grid_dots, _np_stack
+
+    cs = sorted(cents, key=lambda c: c.cell)
+    C = np.stack([np.asarray(c.vec, dtype=np.float64) for c in cs])
+    cns = np.array([float(c.norm) for c in cs])
+    cell_ids = np.array([int(c.cell) for c in cs], dtype=np.int32)
+    idt = dict(v.dtypes)["_id"]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["_vec"])
+            nrm = pdf["_norm"].to_numpy(dtype=np.float64)
+            negsim = -(_np_grid_dots(V, C) / (nrm[:, None] * cns[None, :]))
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "_vec": list(V),
+                    "_norm": nrm,
+                    "cell": cell_ids[np.argmin(negsim, axis=1)],
+                }
+            )
+
+    return v.mapInPandas(
+        assign, f"_id {idt}, _vec array<double>, _norm double, cell int"
     )
 
 
 def kmeans_update(assigned: DataFrame, scale_bits: int = 20) -> DataFrame:
     """The order-independent centroid update: (cell, pos, qsum, n) where
-    qsum = SUM(floor(x * 2^s + 0.5)) over int64. Map-side combine collapses
-    each partition to <= k*dim rows before the one exchange."""
-    s = 1 << scale_bits
+    qsum = SUM(floor(x * 2^s + 0.5)) over int64.
+
+    r6: per-batch partial sums are produced inside an Arrow-batched
+    kernel (exact int64 — np.floor(x*2^s + 0.5) is the same IEEE op
+    sequence as the JVM expression, and integer sums are associative),
+    so the exchange carries <= k*dim rows per batch instead of the
+    N*dim posexplode stream; the final groupBy is the same exact-int
+    fold. Results are bit-identical by integer associativity."""
+    import numpy as np
+    import pandas as pd
+
+    s = float(1 << scale_bits)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+            q = np.floor(V * s + 0.5).astype(np.int64)
+            cells = pdf["cell"].to_numpy()
+            dim = V.shape[1]
+            uc = np.unique(cells)
+            out_cell, out_pos, out_qsum, out_n = [], [], [], []
+            for c in uc:
+                rows = q[cells == c]
+                out_cell.append(np.full(dim, c, dtype=np.int32))
+                out_pos.append(np.arange(dim, dtype=np.int32))
+                out_qsum.append(rows.sum(axis=0, dtype=np.int64))
+                out_n.append(np.full(dim, rows.shape[0], dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(out_cell),
+                    "pos": np.concatenate(out_pos),
+                    "qsum": np.concatenate(out_qsum),
+                    "n": np.concatenate(out_n),
+                }
+            )
+
     return (
-        assigned.select("cell", F.posexplode("_vec").alias("pos", "val"))
+        assigned.select("cell", "_vec")
+        .mapInPandas(partials, "cell int, pos int, qsum long, n long")
         .groupBy("cell", "pos")
-        .agg(
-            F.sum(F.floor(F.col("val") * s + F.lit(0.5)).cast("long")).alias("qsum"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(F.sum("qsum").alias("qsum"), F.sum("n").alias("n"))
     )
 
 
@@ -183,41 +244,47 @@ def semantic_dedup(
     (id_col, cell, n_dups, is_dup) — a total decision for every non-zero
     vector. The pair search never leaves a cell: candidates shuffle as a
     hash self-join on the cell id, and k bounds the quadratic blow-up."""
+    import numpy as np
+    import pandas as pd
+
+    from arroyo_spark.operators.similarity import _np_grid_dots, _np_stack
+
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     cents = train_kmeans(df, id_col, vec_col, k, n_iter, dim, scale_bits)
     a = kmeans_assign(_prep(df, id_col, vec_col, dim), cents)
-    left = a.select(
-        F.col("_id").alias("_lid"),
-        F.col("cell").alias("_lc"),
-        F.col("_vec").alias("_lv"),
-        F.col("_norm").alias("_ln"),
-    )
-    right = a.select(
-        F.col("_id").alias("_rid"),
-        F.col("cell").alias("_rc"),
-        F.col("_vec").alias("_rv"),
-        F.col("_norm").alias("_rn"),
-    )
-    # the similarity predicate lives IN the left-join condition: a vector
-    # with no qualifying lower-id neighbor must still surface (n_dups = 0),
-    # which a join-then-filter would silently drop. Catalyst hash-joins on
-    # the _lc = _rc equi part and applies the rest as the join residual.
-    cond = (
-        (F.col("_lc") == F.col("_rc"))
-        & (F.col("_rid") < F.col("_lid"))
-        & (
-            _dot(F.col("_lv"), F.col("_rv"), None) / (F.col("_ln") * F.col("_rn"))
-            >= F.lit(threshold)
+    idt = dict(a.dtypes)["_id"]
+    thr = float(threshold)
+
+    # r6 (guide §4.2): the within-cell pair search — previously a
+    # cell-equi LEFT join whose residual evaluated one interpreted
+    # dim-term fold per pair — runs as a per-cell Arrow-batched kernel:
+    # the in-cell grid uses the shared dimension-axis accumulation (same
+    # bits), and each member counts its lower-id neighbors at
+    # cosine >= threshold directly, so every member still surfaces with
+    # n_dups = 0 exactly like the old left join.
+    def count_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        V = _np_stack(pdf["_vec"])
+        ids = pdf["_id"].to_numpy()
+        nrm = pdf["_norm"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        cell = pdf["cell"].iloc[0]
+        counts = np.zeros(n, dtype=np.int64)
+        ch = max(1, 4_000_000 // n)
+        for s in range(0, n, ch):
+            cos = _np_grid_dots(V[s : s + ch], V) / (nrm[s : s + ch, None] * nrm[None, :])
+            # lower-id == earlier column (rows sorted by id; ids unique)
+            lower = ids[None, :] < ids[s : s + ch, None]
+            counts[s : s + ch] = ((cos >= thr) & lower).sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(n, cell),
+                "n_dups": counts,
+                "is_dup": counts > 0,
+            }
         )
-    )
-    return (
-        left.join(right, cond, "left")
-        .groupBy("_lid", "_lc")
-        .agg(F.count("_rid").alias("n_dups"))
-        .select(
-            F.col("_lid").alias(id_col),
-            F.col("_lc").alias("cell"),
-            F.col("n_dups").cast("long").alias("n_dups"),
-            (F.col("n_dups") > 0).alias("is_dup"),
-        )
+
+    return a.groupBy("cell").applyInPandas(
+        count_cell, f"{id_col} {idt}, cell int, n_dups long, is_dup boolean"
     )

@@ -167,12 +167,10 @@ def cosine_topk_blocked(
     # spread the base side across the cluster BEFORE the kernel: a small
     # base (or a few large parquet files) would otherwise run the whole
     # grid in one Python worker while every other core idles
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
-    base = (
+    base = _spread(
         with_norm(df, vec_col, dim)
         .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("neighbor_id"), "_vec", "_norm")
-        .repartition(n_parts)
     )
     id_type = dict(base.dtypes)["neighbor_id"]
 
@@ -219,6 +217,72 @@ def cosine_topk_blocked(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster IFF it has fewer
+    partitions than cores (guide §2.5 input skew: a small parquet file
+    scans as 1-2 splits, and every Arrow kernel downstream would run on
+    1-2 cores while the rest idle). Conditional on the CURRENT partition
+    count, so at production scale — where scans have thousands of natural
+    splits — this is a no-op, never an extra corpus shuffle."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _np_stack(col) -> "object":
+    """Stack a pandas column of array cells into an (n, dim) float64 matrix."""
+    import numpy as np
+
+    return np.stack(col.to_numpy()).astype(np.float64, copy=False)
+
+
+def _np_grid_dots(Q, B):
+    """Pairwise dots with the EXACT association of the JVM HOF fold /
+    DuckDB list_dot_product: acc starts at 0.0 and adds products in
+    dimension order (guide §4.2 — vectorized across pairs, sequential
+    across dims; the proven ``cosine_topk_blocked`` kernel)."""
+    import numpy as np
+
+    acc = np.zeros((Q.shape[0], B.shape[0]))
+    for d in range(Q.shape[1]):
+        acc += Q[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _np_norms(V):
+    """sqrt of the sequential sum-of-squares fold — bit-identical to
+    ``with_norm``'s ``sqrt(_dot(v, v))``."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for d in range(V.shape[1]):
+        acc += V[:, d] * V[:, d]
+    return np.sqrt(acc)
+
+
+def _np_topk_rows(qids, nids, cos, k, with_rank, chunk_rows=None):
+    """Per-query local top-k rows from a scored grid (cos: nq x nb), ties
+    by neighbor id — nids MUST be ascending so the stable argsort on
+    -key reproduces row_number() over (cosine DESC, neighbor_id).
+    Self-pairs (query id == neighbor id) are masked to -inf, which sorts
+    last, so surviving candidates keep dense ranks 1..n. Returns column
+    arrays (query_id, neighbor_id, cosine[, rank])."""
+    import numpy as np
+
+    nq, nb = cos.shape
+    kk = min(k, nb)
+    key = np.where(qids[:, None] == nids[None, :], -np.inf, cos)
+    order = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+    rows = np.repeat(np.arange(nq), kk)
+    cols = order.ravel()
+    keep = key[rows, cols] != -np.inf
+    out = [np.repeat(qids, kk)[keep], nids[cols][keep], cos[rows, cols][keep]]
+    if with_rank:
+        out.append(np.tile(np.arange(1, kk + 1, dtype=np.int32), nq)[keep])
+    return out
 
 
 def hyperplane_weight(seed: int, plane: int, dim_idx: int) -> float:
@@ -314,43 +378,78 @@ def lsh_ann_topk(
     larger than ``max_bucket_size`` are dropped from the search entirely
     (degenerate-bucket guard, see ``_cap_buckets``).
 
-    Plan shape: the (id, bucket) mapping is staged with localCheckpoint —
-    the diamond below it (cap agg + both join sides) would otherwise
-    recompute/re-codegen the n_planes*dim-term bucket expression three
-    times (see ``embedding_dup_pairs``); candidate pairs shuffle as bare
-    ids and vectors are joined back only for scoring.
+    Plan shape (r6, guide §4.2): ONE exchange — rows (id, bucket, vec)
+    hash-partition by bucket into an Arrow-batched per-bucket kernel that
+    scores the in-bucket grid with the numpy dimension-axis accumulation
+    (bit-identical to the JVM HOF fold / DuckDB list_dot_product — the
+    proven ``cosine_topk_blocked`` association) and emits each query's
+    top-k directly. A query competes only inside its single bucket, so
+    the per-bucket top-k IS the global answer — the old candidate
+    self-join + two vector join-backs + corpus-wide window (4 exchanges,
+    one interpreted 64-term fold per pair) collapse into the group pass.
+    The cap semantics are unchanged: buckets are counted on the RAW
+    mapping (zero-norm rows included), zero-norm vectors are excluded
+    from scoring inside the kernel (same uniform contract).
     """
-    from pyspark.sql import Window as W
+    import pandas as pd
 
     # explicit dim skips the per-instantiation .first() driver job
     # (ADVICE r4 #4); inference stays as the fallback
     dim = dim if dim is not None else _infer_dim(df, vec_col)
-    # zero-norm vectors excluded (cosine undefined) — same contract as
-    # cosine_topk; the inner joins on the filtered vector side drop them
-    # from candidates even though the bucket mapping is built on raw df
-    v = (
-        with_norm(df, vec_col, dim)
-        .filter(F.col("_norm") > 0)
-        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
-    )
-    bk = df.select(
+    idt = dict(df.dtypes)[id_col]
+    base = df.select(
         F.col(id_col).alias("_id"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    bk = _cap_buckets(bk, max_bucket_size, "bucket")
-    a = bk.select("bucket", F.col("_id").alias("query_id"))
-    c = bk.select("bucket", F.col("_id").alias("neighbor_id"))
-    cand = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    va = v.select(F.col("_id").alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"))
-    vb = v.select(F.col("_id").alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
-    scored = cand.join(va, "query_id").join(vb, "neighbor_id").withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_bv"), dim) / (F.col("_qn") * F.col("_bn"))
+        F.col(vec_col).cast("array<double>").alias("_vec"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    base = _cap_buckets(base, max_bucket_size, "bucket")
+    kk = int(k)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int32"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+                "rank": pd.Series([], dtype="int32"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        V = _np_stack(pdf["_vec"])
+        ids = pdf["_id"].to_numpy()
+        nrm = _np_norms(V)
+        keep = nrm > 0  # zero-norm exclusion, in-kernel (cap already counted them)
+        V, ids, nrm = V[keep], ids[keep], nrm[keep]
+        n = len(ids)
+        if n < 2:
+            return empty
+        bucket = pdf["bucket"].iloc[0]
+        res: list[pd.DataFrame] = []
+        ch = max(1, 4_000_000 // n)  # bound the grid chunk at ~32 MB
+        for s in range(0, n, ch):
+            cos = _np_grid_dots(V[s : s + ch], V) / (nrm[s : s + ch, None] * nrm[None, :])
+            q, nid, c, r = _np_topk_rows(ids[s : s + ch], ids, cos, kk, with_rank=True)
+            res.append(
+                pd.DataFrame(
+                    {
+                        "query_id": q,
+                        "bucket": np.full(len(q), bucket),
+                        "neighbor_id": nid,
+                        "cosine": c,
+                        "rank": r,
+                    }
+                )
+            )
+        return pd.concat(res, ignore_index=True) if res else empty
+
+    return base.groupBy("bucket").applyInPandas(
+        score_bucket,
+        f"query_id {idt}, bucket int, neighbor_id {idt}, cosine double, rank int",
     )
 
 
@@ -397,10 +496,7 @@ def ivf_ann_topk(
     # count would otherwise run the whole O(N*K*dim) assignment on one
     # core (same rationale as cosine_topk_blocked); at cluster scale the
     # scan has natural splits and this round-robin of N rows is noise
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-    )
-    v = (
+    v = _spread(
         with_norm(df, vec_col, dim)
         # zero-norm exclusion (uniform contract with cosine_topk): a NaN
         # cosine would both rank above all doubles in the top-k window AND
@@ -408,7 +504,6 @@ def ivf_ann_topk(
         # silently changing probe assignment for degenerate vectors
         .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("_id"), F.col("_vec"), F.col("_norm"))
-        .repartition(n_parts)
     )
     # centroids are COLLECTED once at plan-build time (n_cells rows — KBs)
     # and attached to every row as ONE broadcast row of arrays (a ~64 KB
@@ -428,52 +523,126 @@ def ivf_ann_topk(
         ]
     else:
         cent_rows = v.orderBy("_id").limit(n_cells).collect()
-    cents = df.sparkSession.createDataFrame(
-        [(
-            [r["_id"] for r in cent_rows],
-            [r["_vec"] for r in cent_rows],
-            [r["_norm"] for r in cent_rows],
-        )],
-        "_cells array<bigint>, _cvs array<array<double>>, _cns array<double>",
+    # r6 (guide §4.2): the K-cell assignment — previously an interpreted
+    # N x K x dim HOF-fold projection — moves into an Arrow-batched numpy
+    # kernel using the same sequential dimension-axis accumulation
+    # (bit-identical association, the cosine_topk_blocked precedent). Tie
+    # parity: array_sort over struct(negsim, cell) == stable argsort on
+    # negsim with columns in cell-ascending order (asserted below; Spark
+    # normalizes -0.0 == 0.0 in struct comparisons and so does numpy).
+    # The search join + corpus-wide window collapse into a per-cell
+    # grouped kernel emitting local top-k; the final window ranks
+    # <= n_probe*k candidates per query instead of the full pair grid.
+    import numpy as np
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+    C = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in cent_rows])
+    cns = np.array([float(r["_norm"]) for r in cent_rows])
+    cell_ids = np.array([int(r["_id"]) for r in cent_rows], dtype=np.int64)
+    assert len(cell_ids) <= 1 or np.all(np.diff(cell_ids) > 0), (
+        "centroid rows must be cell-ascending for argmin tie parity"
     )
-    # sort key struct(negsim, cell): ascending struct order == sim DESC,
-    # cell ASC — exactly a row_number() ordering on (sim DESC, cell). The
-    # dot product is the same sequential zip_with/aggregate fold as _dot
-    # (bit-identical to DuckDB's list_dot_product), so near-tie cell
-    # choices match the oracle exactly.
-    probe_expr = (
-        "slice(array_sort(transform(sequence(0, size(_cells) - 1), i -> named_struct("
-        "'negsim', -(aggregate(zip_with(_vec, element_at(_cvs, i + 1), (x, y) -> x * y), 0.0D,"
-        " (a, x) -> a + x) / (_norm * element_at(_cns, i + 1))), "
-        f"'cell', element_at(_cells, i + 1)))), 1, {n_probe})"
+    npr = min(n_probe, len(cell_ids))
+
+    def assign_probes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["_vec"])
+            nrm = pdf["_norm"].to_numpy(dtype=np.float64)
+            ids = pdf["_id"].to_numpy()
+            negsim = -(_np_grid_dots(V, C) / (nrm[:, None] * cns[None, :]))
+            order = np.argsort(negsim, axis=1, kind="stable")[:, :npr]
+            for pos in range(npr):
+                yield pd.DataFrame(
+                    {
+                        "_id": ids,
+                        "cell": cell_ids[order[:, pos]],
+                        "_pr": np.full(len(ids), pos + 1, dtype=np.int32),
+                        "_vec": list(V),
+                        "_norm": nrm,
+                    }
+                )
+
+    assign = v.mapInPandas(
+        assign_probes,
+        f"_id {idt}, cell bigint, _pr int, _vec array<double>, _norm double",
     )
-    assign = (
-        v.join(F.broadcast(cents))
-        .select("_id", "_vec", "_norm", F.posexplode(F.expr(probe_expr)).alias("_pos", "_p"))
-        .select(
-            "_id",
-            F.col("_p.cell").alias("cell"),
-            (F.col("_pos") + 1).alias("_pr"),
-            "_vec",
-            "_norm",
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
-    )
-    base = assign.filter(F.col("_pr") == 1).select(
-        F.col("_id").alias("neighbor_id"), "cell", F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn")
-    )
-    probes = assign.select(
-        F.col("_id").alias("query_id"), "cell", F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
-    )
-    pairs = probes.join(base, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_bv"), dim) / (F.col("_qn") * F.col("_bn"))
+        base = pdf[pdf["_pr"] == 1]
+        if not len(base) or len(pdf) < 2:
+            return empty
+        base = base.sort_values("_id", kind="mergesort")
+        B = _np_stack(base["_vec"])
+        bn = base["_norm"].to_numpy(dtype=np.float64)
+        bids = base["_id"].to_numpy()
+        Q = _np_stack(pdf["_vec"])
+        qn = pdf["_norm"].to_numpy(dtype=np.float64)
+        qids = pdf["_id"].to_numpy()
+        res = []
+        ch = max(1, 4_000_000 // max(len(bids), 1))
+        for s in range(0, len(qids), ch):
+            cos = _np_grid_dots(Q[s : s + ch], B) / (qn[s : s + ch, None] * bn[None, :])
+            q, nid, c = _np_topk_rows(qids[s : s + ch], bids, cos, int(k), with_rank=False)
+            res.append(pd.DataFrame({"query_id": q, "neighbor_id": nid, "cosine": c}))
+        return pd.concat(res, ignore_index=True) if res else empty
+
+    cand = assign.groupBy("cell").applyInPandas(
+        score_cell, f"query_id {idt}, neighbor_id {idt}, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _np_pq_codes(X, CW, ccs_np, m: int, sub: int):
+    """PQ encode (n, m) — argmin_c of ccs[j][c] - 2*dot(x_j, cw_c_j) with
+    the fold's dimension-order accumulation; np.argmin takes the FIRST
+    minimum, i.e. the smallest c — the array_sort struct(key, c) rule."""
+    import numpy as np
+
+    n, kc = X.shape[0], CW.shape[0]
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        acc = np.zeros((n, kc))
+        for d in range(j * sub, (j + 1) * sub):
+            acc += X[:, d, None] * CW[None, :, d]
+        codes[:, j] = np.argmin(ccs_np[j][None, :] - 2.0 * acc, axis=1)
+    return codes
+
+
+def _np_pq_qtab(Q, CW, m: int, sub: int):
+    """ADC lookup tables (nq, m, k_codes): subspace-j dot(q_j, cw_c_j),
+    fold order (acc from 0.0 over the subspace dims)."""
+    import numpy as np
+
+    T = np.zeros((Q.shape[0], m, CW.shape[0]))
+    for j in range(m):
+        for d in range(j * sub, (j + 1) * sub):
+            T[:, j, :] += Q[:, d, None] * CW[None, :, d]
+    return T
+
+
+def _np_adc(T, codes):
+    """(nq, nb) ADC sums t_1 + ... + t_m LEFT-TO-RIGHT: the first term is
+    assigned (not added to 0.0), matching the oracle's ts[1] + ... + ts[m]
+    and the JVM adc_ip chain bit-for-bit."""
+    acc = T[:, 0, :][:, codes[:, 0]].copy()
+    for j in range(1, T.shape[1]):
+        acc += T[:, j, :][:, codes[:, j]]
+    return acc
 
 
 def _pq_self_dots(cw_rows, m: int, sub: int) -> list[list[float]]:
@@ -583,23 +752,73 @@ def pq_ann_topk(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-    )
-    v = (
+    v = _spread(
         with_norm(df, vec_col, dim)
         .filter(F.col("_norm") > 0)  # uniform zero-norm contract
         .select(F.col(id_col).alias("_id"), "_vec", "_norm")
-        .repartition(n_parts)
     )
-    # codebook: k_codes rows — KBs — collected once and attached as ONE
-    # broadcast row of arrays (same shape as ivf_ann_topk's centroids)
-    cw_rows = v.orderBy("_id").limit(k_codes).collect()
+    # codebook: k_codes rows — KBs — collected once; a bounded query set
+    # shares the same id-ordered prefix collect (one driver job, not two)
+    if n_queries is not None:
+        head = v.orderBy("_id").limit(max(k_codes, int(n_queries))).collect()
+        cw_rows, q_rows = head[:k_codes], head[: int(n_queries)]
+    else:
+        cw_rows, q_rows = v.orderBy("_id").limit(k_codes).collect(), None
 
     # cc = dot(cw_jc, cw_jc) depends only on (j, c): precomputed ONCE on
     # the driver (shared helper, same sequential fold) — halves the
     # per-row encode folds vs recomputing cc per (row, j, c)
     ccs = _pq_self_dots(cw_rows, m, sub)
+
+    if q_rows is not None:
+        # r6 numpy path (guide §4.2): encode + ADC scoring in ONE
+        # Arrow-batched pass over the base — the interpreted m*k_codes
+        # per-row encode folds and the base x query join materialization
+        # both disappear; each batch emits its local per-query top-k and
+        # the final window ranks <= partitions*k rows per query. Same
+        # arithmetic, same association (_np_pq_* docstrings), so the
+        # hash-exact oracle contract is unchanged.
+        import numpy as np
+        import pandas as pd
+
+        idt = dict(df.dtypes)[id_col]
+        CW = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in cw_rows])
+        ccs_np = [np.array(row) for row in ccs]
+        Q = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in q_rows])
+        qn = np.array([float(r["_norm"]) for r in q_rows])
+        qids = np.array([int(r["_id"]) for r in q_rows], dtype=np.int64)
+        T = _np_pq_qtab(Q, CW, m, sub)
+        kk = int(k)
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("_id", kind="mergesort")
+                X = _np_stack(pdf["_vec"])
+                bn = pdf["_norm"].to_numpy(dtype=np.float64)
+                bids = pdf["_id"].to_numpy()
+                codes = _np_pq_codes(X, CW, ccs_np, m, sub)
+                cos = _np_adc(T, codes) / (qn[:, None] * bn[None, :])
+                q_, nid, c = _np_topk_rows(qids, bids, cos, kk, with_rank=False)
+                yield pd.DataFrame(
+                    {"query_id": q_, "neighbor_id": nid, "approx_cosine": c}
+                )
+
+        cand = v.mapInPandas(
+            score, f"query_id {idt}, neighbor_id {idt}, approx_cosine double"
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("approx_cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "approx_cosine", "rank")
+        )
+
+    # n_queries=None (corpus-vs-corpus): the JVM broadcast-join path stays
+    # — the query side is unbounded, so nothing may be collected
     cents = df.sparkSession.createDataFrame(
         [([r["_vec"] for r in cw_rows], ccs)],
         "_cvs array<array<double>>, _ccs array<array<double>>",
@@ -672,68 +891,102 @@ def ivfpq_ann_topk(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-    )
-    v = (
+    v = _spread(
         with_norm(df, vec_col, dim)
         .filter(F.col("_norm") > 0)
         .select(F.col(id_col).alias("_id"), "_vec", "_norm")
-        .repartition(n_parts)
     )
     head = v.orderBy("_id").limit(max(n_cells, k_codes)).collect()
     cent_rows, cw_rows = head[:n_cells], head[:k_codes]
     ccs = _pq_self_dots(cw_rows, m, sub)
-    consts = df.sparkSession.createDataFrame(
-        [(
-            [r["_id"] for r in cent_rows],
-            [r["_vec"] for r in cent_rows],
-            [r["_norm"] for r in cent_rows],
-            [r["_vec"] for r in cw_rows],
-            ccs,
-        )],
-        "_cells array<bigint>, _cents array<array<double>>, _cns array<double>, "
-        "_cvs array<array<double>>, _ccs array<array<double>>",
+
+    # r6 (guide §4.2): one Arrow-batched pass assigns probe cells (the
+    # ivf kernel's argsort-on-negsim, cell-ascending tie parity) and
+    # PQ-encodes each row (the pq kernel's argmin key); base rows (pr=1)
+    # carry codes, every probe row carries the raw vector — the ADC
+    # lookup table is recomputed per (query, cell) inside the per-cell
+    # kernel from the same fold (deterministic, identical values), so the
+    # shuffle carries a 64-double vector instead of a 512-double qtab.
+    # The per-cell grouped kernel scores ADC and emits local top-k; the
+    # final window ranks <= n_probe*k rows per query.
+    import numpy as np
+    import pandas as pd
+
+    idt = dict(df.dtypes)[id_col]
+    C = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in cent_rows])
+    cns = np.array([float(r["_norm"]) for r in cent_rows])
+    cell_ids = np.array([int(r["_id"]) for r in cent_rows], dtype=np.int64)
+    assert len(cell_ids) <= 1 or np.all(np.diff(cell_ids) > 0), (
+        "centroid rows must be cell-ascending for argmin tie parity"
+    )
+    CW = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in cw_rows])
+    ccs_np = [np.array(row) for row in ccs]
+    npr = min(n_probe, len(cell_ids))
+    kk = int(k)
+
+    def assign_probes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["_vec"])
+            nrm = pdf["_norm"].to_numpy(dtype=np.float64)
+            ids = pdf["_id"].to_numpy()
+            negsim = -(_np_grid_dots(V, C) / (nrm[:, None] * cns[None, :]))
+            order = np.argsort(negsim, axis=1, kind="stable")[:, :npr]
+            codes = _np_pq_codes(V, CW, ccs_np, m, sub)
+            for pos in range(npr):
+                yield pd.DataFrame(
+                    {
+                        "_id": ids,
+                        "cell": cell_ids[order[:, pos]],
+                        "_pr": np.full(len(ids), pos + 1, dtype=np.int32),
+                        "_codes": list(codes) if pos == 0 else [None] * len(ids),
+                        "_vec": list(V),
+                        "_norm": nrm,
+                    }
+                )
+
+    assign = v.mapInPandas(
+        assign_probes,
+        f"_id {idt}, cell bigint, _pr int, _codes array<bigint>, "
+        "_vec array<double>, _norm double",
     )
 
-    # same probe expression as ivf_ann_topk (bit-identical cell choice)
-    probe_expr = (
-        "slice(array_sort(transform(sequence(0, size(_cells) - 1), i -> named_struct("
-        "'negsim', -(aggregate(zip_with(_vec, element_at(_cents, i + 1), (x, y) -> x * y), 0.0D,"
-        " (a, x) -> a + x) / (_norm * element_at(_cns, i + 1))), "
-        f"'cell', element_at(_cells, i + 1)))), 1, {n_probe})"
-    )
-    codes_expr, qtab_expr, adc_ip = _pq_exprs(m, sub, k_codes)
-    assign = (
-        v.join(F.broadcast(consts))
-        .select(
-            "_id",
-            "_vec",
-            "_norm",
-            F.expr(codes_expr).alias("_codes"),
-            F.expr(qtab_expr).alias("_qtab"),
-            F.posexplode(F.expr(probe_expr)).alias("_pos", "_p"),
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "approx_cosine": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            "_id", "_codes", "_qtab", "_norm",
-            F.col("_p.cell").alias("cell"),
-            (F.col("_pos") + 1).alias("_pr"),
-        )
-    )
-    base = assign.filter(F.col("_pr") == 1).select(
-        F.col("_id").alias("neighbor_id"), "cell", "_codes", F.col("_norm").alias("_bn")
-    )
-    probes = assign.select(
-        F.col("_id").alias("query_id"), "cell", "_qtab", F.col("_norm").alias("_qn")
-    )
-    scored = (
-        probes.join(base, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("approx_cosine", F.expr(adc_ip) / (F.col("_qn") * F.col("_bn")))
+        base = pdf[pdf["_pr"] == 1]
+        if not len(base) or len(pdf) < 2:
+            return empty
+        base = base.sort_values("_id", kind="mergesort")
+        codes = np.stack(base["_codes"].to_numpy()).astype(np.int64, copy=False)
+        bn = base["_norm"].to_numpy(dtype=np.float64)
+        bids = base["_id"].to_numpy()
+        Q = _np_stack(pdf["_vec"])
+        qn = pdf["_norm"].to_numpy(dtype=np.float64)
+        qids = pdf["_id"].to_numpy()
+        res = []
+        ch = max(1, 4_000_000 // max(len(bids), 1))
+        for s in range(0, len(qids), ch):
+            T = _np_pq_qtab(Q[s : s + ch], CW, m, sub)
+            cos = _np_adc(T, codes) / (qn[s : s + ch, None] * bn[None, :])
+            q_, nid, c = _np_topk_rows(qids[s : s + ch], bids, cos, kk, with_rank=False)
+            res.append(
+                pd.DataFrame({"query_id": q_, "neighbor_id": nid, "approx_cosine": c})
+            )
+        return pd.concat(res, ignore_index=True) if res else empty
+
+    cand = assign.groupBy("cell").applyInPandas(
+        score_cell, f"query_id {idt}, neighbor_id {idt}, approx_cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("approx_cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_cosine", "rank")
     )
@@ -756,13 +1009,24 @@ def lsh_ann_topk_multiband(
     Single-band recall at 8 planes is the scale path's weakest number
     (~0.5-0.6 at k=5 on uniform vectors); each extra band multiplies the
     miss probability — 3 bands lift recall to ~0.9 for ~3x the candidate
-    work (still << brute force). Candidates are deduped on (query,
-    neighbor) BEFORE scoring, so a pair colliding in several bands is
-    scored once. Per-band buckets are capped like ``lsh_ann_topk``.
+    work (still << brute force). Per-band buckets are capped like
+    ``lsh_ann_topk``.
+
+    r6 plan shape (guide §4.2): each (band, bucket) group scores its
+    in-bucket grid in an Arrow-batched numpy kernel (same dimension-axis
+    accumulation as every kernel in this module) and emits its LOCAL
+    per-query top-k; a pair surfacing in several bands is deduped AFTER
+    scoring (identical cosine in every copy — dropDuplicates is safe),
+    and the global window ranks <= n_bands*k candidates per query. Any
+    global top-k pair is inside the local top-k of every group containing
+    it (fewer than k pairs can outrank it anywhere), so local-topk +
+    dedup + global window returns exactly the old candidates-distinct-
+    then-score result.
 
     Output: (query_id, neighbor_id, cosine, rank) — no bucket column (a
     pair may come from any band).
     """
+    import pandas as pd
     from pyspark.sql import Window as W
 
     from functools import reduce
@@ -771,7 +1035,13 @@ def lsh_ann_topk_multiband(
     # (ADVICE r4 #4); inference stays as the fallback
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     # zero-norm exclusion — uniform degenerate-vector contract (cosine_topk)
-    v = with_norm(df, vec_col, dim).filter(F.col("_norm") > 0)
+    v = with_norm(df, vec_col, dim).filter(F.col("_norm") > 0).select(
+        F.col(id_col).alias("_id"), "_vec", "_norm"
+    )
+    # staged once: the n_bands union branches + cap agg below would
+    # otherwise recompute with_norm's fold per consumer
+    v = v.localCheckpoint(eager=False)
+    idt = dict(df.dtypes)[id_col]
     # one bucket stream per band: band b's hyperplanes use seed+b, so the
     # ±1 weight sets are independent md5 draws. A UNION of per-band
     # projections, NOT posexplode(array(...)): stacking all n_bands
@@ -783,39 +1053,52 @@ def lsh_ann_topk_multiband(
         DataFrame.unionAll,
         [
             v.select(
-                F.col(id_col).alias("_id"),
+                "_id",
                 F.lit(b).alias("band"),
-                hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed + b).alias(
+                hyperplane_sign_bucket(F.col("_vec"), n_planes, dim=dim, seed=seed + b).alias(
                     "bucket"
                 ),
+                "_vec",
             )
             for b in range(n_bands)
         ],
     )
-    # stage the (id, band, bucket) mapping — a few int columns, tiny next
-    # to the corpus: the plan below is diamond-shaped (cap agg + both join
-    # sides), and without staging each consumer would recompute and
-    # re-codegen the n_bands * n_planes * dim-term bucket expressions.
-    # localCheckpoint = compute once, read three times (on a cluster the
-    # same staging is a temp-table write).
-    buckets = buckets.localCheckpoint(eager=False)
     buckets = _cap_buckets(buckets, max_bucket_size, "band", "bucket")
-    a = buckets.select("band", "bucket", F.col("_id").alias("query_id"))
-    c = buckets.select("band", "bucket", F.col("_id").alias("neighbor_id"))
-    cand = (
-        a.join(c, ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    kk = int(k)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        V = _np_stack(pdf["_vec"])
+        ids = pdf["_id"].to_numpy()
+        nrm = _np_norms(V)
+        n = len(ids)
+        res = []
+        ch = max(1, 4_000_000 // n)
+        for s in range(0, n, ch):
+            cos = _np_grid_dots(V[s : s + ch], V) / (nrm[s : s + ch, None] * nrm[None, :])
+            q, nid, c = _np_topk_rows(ids[s : s + ch], ids, cos, kk, with_rank=False)
+            res.append(pd.DataFrame({"query_id": q, "neighbor_id": nid, "cosine": c}))
+        return pd.concat(res, ignore_index=True) if res else empty
+
+    cand = buckets.groupBy("band", "bucket").applyInPandas(
+        score_group, f"query_id {idt}, neighbor_id {idt}, cosine double"
     )
-    vq = v.select(F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"))
-    vn = v.select(F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
-    scored = cand.join(vq, "query_id").join(vn, "neighbor_id").withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_bv"), dim) / (F.col("_qn") * F.col("_bn"))
-    )
+    # a pair colliding in several bands carries the SAME cosine everywhere
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -835,35 +1118,63 @@ def embedding_dup_pairs(
     buckets. Buckets over ``max_bucket_size`` are dropped (degenerate-bucket
     guard, see ``_cap_buckets``) — route overflow to more planes or IVF.
 
-    Plan shape (multiband's staging pattern): the (id, bucket) mapping is
-    computed ONCE and localCheckpointed — two int-ish columns, tiny next
-    to the corpus — because the plan is diamond-shaped (cap agg + both
-    join sides) and each consumer would otherwise recompute AND re-codegen
-    the n_planes*dim-term bucket expression; r3's un-staged form spent
-    ~2x its runtime re-optimizing those duplicated subtrees (bench
-    6.25s -> ~2s staged). Vectors are joined back only to score the
-    bucket-pruned candidate pairs — candidates shuffle as bare id pairs,
-    never with 64-double payloads."""
+    r6 plan shape (guide §4.2): ONE exchange — (id, bucket, vec) rows
+    hash-partition by bucket into an Arrow-batched kernel that scores the
+    in-bucket grid (the module's shared dimension-axis accumulation) and
+    emits the i<j pairs at cosine >= threshold directly; the old candidate
+    self-join + two vector join-backs (each paying an interpreted 64-term
+    fold per pair) collapse into the group pass. Cap semantics unchanged
+    (counted on the RAW mapping, zero-norm rows included); zero-norm
+    vectors are excluded from scoring inside the kernel."""
+    import pandas as pd
+
     # explicit dim skips the per-instantiation .first() driver job
     # (ADVICE r4 #4); inference stays as the fallback
     dim = dim if dim is not None else _infer_dim(df, vec_col)
-    # zero-norm exclusion — uniform degenerate-vector contract (cosine_topk)
-    v = (
-        with_norm(df, vec_col, dim)
-        .filter(F.col("_norm") > 0)
-        .select(F.col(id_col).alias("_id"), "_vec", "_norm")
-    )
-    bk = df.select(
+    idt = dict(df.dtypes)[id_col]
+    base = df.select(
         F.col(id_col).alias("_id"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    bk = _cap_buckets(bk, max_bucket_size, "bucket")
-    a = bk.select("bucket", F.col("_id").alias("id_a"))
-    c = bk.select("bucket", F.col("_id").alias("id_b"))
-    cand = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    va = v.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"))
-    vb = v.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"))
-    scored = cand.join(va, "id_a").join(vb, "id_b").withColumn(
-        "cosine", _dot(F.col("_av"), F.col("_bv"), dim) / (F.col("_an") * F.col("_bn"))
+        F.col(vec_col).cast("array<double>").alias("_vec"),
     )
-    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    base = _cap_buckets(base, max_bucket_size, "bucket")
+    thr = float(threshold)
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        V = _np_stack(pdf["_vec"])
+        ids = pdf["_id"].to_numpy()
+        nrm = _np_norms(V)
+        keep = nrm > 0  # zero-norm exclusion, in-kernel (cap counted them)
+        V, ids, nrm = V[keep], ids[keep], nrm[keep]
+        n = len(ids)
+        if n < 2:
+            return empty
+        res = []
+        ch = max(1, 4_000_000 // n)
+        for s in range(0, n, ch):
+            cos = _np_grid_dots(V[s : s + ch], V) / (nrm[s : s + ch, None] * nrm[None, :])
+            hit = (cos >= thr) & (ids[s : s + ch, None] < ids[None, :])
+            r, c = np.nonzero(hit)
+            if len(r):
+                res.append(
+                    pd.DataFrame(
+                        {"id_a": ids[s + r], "id_b": ids[c], "cosine": cos[r, c]}
+                    )
+                )
+        return pd.concat(res, ignore_index=True) if res else empty
+
+    return base.groupBy("bucket").applyInPandas(
+        pair_bucket, f"id_a {idt}, id_b {idt}, cosine double"
+    )

@@ -299,18 +299,24 @@ def ann_query_topk(
     bucket cap over the full index, same zero-norm exclusion on both the
     query and neighbor sides, same (cosine DESC, neighbor_id) tie-break.
 
-    Plan shape: the query set is the SMALL side — it is broadcast to the
-    index, so the index itself never shuffles (bucket-clustered scan +
-    broadcast hash join); only candidate rows flow into the top-k window.
-    Output schema matches ``lsh_ann_topk``:
+    r6 plan shape (guide §4.2): index and query sides cogroup on the
+    bucket id into one Arrow-batched kernel that scores the query x
+    member grid with the similarity module's dimension-axis accumulation
+    (bit-identical to the old per-pair interpreted fold) and emits each
+    query's ranked top-k directly — a query lives in exactly one bucket,
+    so the per-bucket top-k IS the global answer and the corpus-wide
+    window disappears. Output schema matches ``lsh_ann_topk``:
     (query_id, bucket, neighbor_id, cosine, rank).
     """
-    from pyspark.sql import Window as W
+    import pandas as pd
 
     from arroyo_spark.operators.similarity import (
         _cap_buckets,
-        _dot,
         _infer_dim,
+        _np_grid_dots,
+        _np_norms,
+        _np_stack,
+        _np_topk_rows,
         hyperplane_sign_bucket,
         with_norm,
     )
@@ -318,33 +324,70 @@ def ann_query_topk(
     d = dim if dim is not None else _infer_dim(queries_df, vec_col)
     store = _cap_buckets(sink.read_output(spark), max_bucket_size, "bucket")
     nb = store.filter(F.col("norm") > 0).select(
-        F.col(id_col).alias("neighbor_id"),
-        "bucket",
-        F.col("vec").alias("_bv"),
-        F.col("norm").alias("_bn"),
+        F.col(id_col).alias("_id"), "bucket", F.col("vec").alias("_vec"), F.col("norm").alias("_n")
     )
     q = (
         with_norm(queries_df, vec_col, d)
         .filter(F.col("_norm") > 0)
         .select(
-            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("_id"),
             hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=d, seed=seed).alias(
                 "bucket"
             ),
-            F.col("_vec").alias("_qv"),
-            F.col("_norm").alias("_qn"),
+            "_vec",
+            F.col("_norm").alias("_n"),
         )
     )
-    scored = (
-        nb.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("_qv"), F.col("_bv"), d) / (F.col("_qn") * F.col("_bn")))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    idt = dict(q.dtypes)["_id"]
+    kk = int(k)
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int32"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+                "rank": pd.Series([], dtype="int32"),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        left = left.sort_values("_id", kind="mergesort")
+        B = _np_stack(left["_vec"])
+        bn = left["_n"].to_numpy(dtype=np.float64)
+        bids = left["_id"].to_numpy()
+        Q = _np_stack(right["_vec"])
+        qn = right["_n"].to_numpy(dtype=np.float64)
+        qids = right["_id"].to_numpy()
+        bucket = (left if len(left) else right)["bucket"].iloc[0]
+        res = []
+        ch = max(1, 4_000_000 // max(len(bids), 1))
+        for s in range(0, len(qids), ch):
+            cos = _np_grid_dots(Q[s : s + ch], B) / (qn[s : s + ch, None] * bn[None, :])
+            q_, nid, c, r = _np_topk_rows(qids[s : s + ch], bids, cos, kk, with_rank=True)
+            res.append(
+                pd.DataFrame(
+                    {
+                        "query_id": q_,
+                        "bucket": np.full(len(q_), bucket),
+                        "neighbor_id": nid,
+                        "cosine": c,
+                        "rank": r,
+                    }
+                )
+            )
+        return pd.concat(res, ignore_index=True) if res else empty
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+        nb.groupBy("bucket")
+        .cogroup(q.groupBy("bucket"))
+        .applyInPandas(
+            score,
+            f"query_id {idt}, bucket int, neighbor_id {idt}, cosine double, rank int",
+        )
     )
 
 
