@@ -458,6 +458,17 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    # r6 termination check (guide §1.2 — fewer driver actions per round):
+    # labels are monotonically NON-INCREASING per node, so the label sum
+    # strictly decreases until the fixed point and "sum unchanged" ⟺
+    # "no label changed". One aggregate over the (checkpointed) new
+    # labels replaces the old-vs-new join + count — a full join of the
+    # label table dropped from every round. decimal(38,0) keeps the sum
+    # exact at any node count / id range (a raw long sum could wrap).
+    numeric_ids = dict(labels.dtypes)["label"] in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    prev_sum = None
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["d"] == labels["id"])
@@ -481,16 +492,24 @@ def connected_components(
         jumped = (
             stepped.join(parent, stepped["label"] == parent["p_id"])
             .select("id", F.col("p_label").alias("label"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if numeric_ids:
+            new_sum = jumped.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            done = prev_sum is not None and new_sum == prev_sum
+            prev_sum = new_sum
+        else:  # non-numeric ids: the monotone-sum trick has no total order
+            done = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+                == 0
+            )
         labels = jumped
-        if changed == 0:
+        if done:
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 

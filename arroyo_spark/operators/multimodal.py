@@ -222,7 +222,13 @@ def extract_features(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(feats)
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # _spread pays off here (output rows are scalar — the exchange carries
+    # the small media payload once, the kernel then runs 32-wide); the
+    # media-OUT stages (decode/resize) keep the scan layout — measured: a
+    # forced repartition of 600 MB of image bytes cost 3x the kernel
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df).mapInPandas(batches, schema=out_schema)
 
 
 def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
@@ -535,4 +541,8 @@ def video_features(df: DataFrame) -> DataFrame:
                     prev_y = y
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # scalar-out stage: spreading the small video payload wins (see
+    # extract_features); media-out stages keep the scan layout
+    from arroyo_spark.operators.similarity import _spread
+
+    return _spread(df).mapInPandas(batches, schema=out_schema)

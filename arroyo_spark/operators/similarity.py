@@ -1039,7 +1039,10 @@ def lsh_ann_topk_multiband(
         F.col(id_col).alias("_id"), "_vec", "_norm"
     )
     # staged once: the n_bands union branches + cap agg below would
-    # otherwise recompute with_norm's fold per consumer
+    # otherwise recompute with_norm's fold per consumer. No _spread here:
+    # the per-(band, bucket) group exchange right below already fans the
+    # work out (n_bands * 2^n_planes groups), and a forced repartition of
+    # the vector payload ahead of it measured ~1.7s slower at sf1.0.
     v = v.localCheckpoint(eager=False)
     idt = dict(df.dtypes)[id_col]
     # one bucket stream per band: band b's hyperplanes use seed+b, so the

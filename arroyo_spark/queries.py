@@ -2576,13 +2576,20 @@ RETRIED_CONV_CTE = r"""
 """
 
 
-def _retried_transcripts(spark: SparkSession, sf_dir: str):
+def _retried_transcripts(spark: SparkSession, sf_dir: str, stage: bool = False):
     """(transcripts, retries): the Spark twin of RETRIED_CONV_CTE's
     with_retries — every 7th user's conversation resubmitted verbatim
-    under a '-retry' conv_id."""
+    under a '-retry' conv_id.
+
+    ``stage=True`` localCheckpoints the derivation (r6, guide §1.2): the
+    incremental sink consumes t through FIVE epoch filters, and unstaged
+    each would re-run the events scan + transcript window. Rows are
+    unchanged — intra-query staging only."""
     t = transcripts_from_events(spark, sf_dir).select(
         "conv_id", "turn_idx", "role", "text"
     )
+    if stage:
+        t = t.localCheckpoint(eager=True)
     uid = F.substring("conv_id", 6, 8).cast("long")
     retries = t.filter(uid % 7 == 0).withColumn(
         "conv_id", F.concat(F.col("conv_id"), F.lit("-retry"))
@@ -2649,7 +2656,7 @@ def q_incremental_transcript_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     from arroyo_spark.streaming.incremental import incremental_transcript_dedup_sink
     from arroyo_spark.streaming.ledger import OffsetsLedger
 
-    t, retries = _retried_transcripts(spark, sf_dir)
+    t, retries = _retried_transcripts(spark, sf_dir, stage=True)
     uid = F.substring("conv_id", 6, 8).cast("long")
     tmp = tempfile.mkdtemp(prefix="inc_tdedup_")
     try:
