@@ -289,13 +289,25 @@ def duplicate_span_stats(
     # staged once: the frequency agg and the stats join both consume it;
     # unstaged, Catalyst would run the kernel twice
     sh = sh.localCheckpoint(eager=False)
-    freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_docs"))
+    # r6 (guide §3.2 spirit): join back only the DUPLICATED spans — the
+    # head of the frequency distribution — instead of the full per-span
+    # frequency table. The flagged set is orders of magnitude smaller
+    # than the span universe (unique prose dominates any real corpus),
+    # so AQE turns the join's build side into a broadcast and the probe
+    # side never reshuffles; a left join + count of hits computes the
+    # same n_dup_spans (span has >= min_docs docs ⟺ it is flagged).
+    flagged = (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_sh", F.lit(1).alias("_dup"))
+    )
     return (
-        sh.join(freq, "_sh")
+        sh.join(flagged, "_sh", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_docs") >= min_docs).cast("long")).alias("n_dup_spans"),
+            F.count("_dup").alias("n_dup_spans"),
         )
         .withColumn(
             "dup_frac",

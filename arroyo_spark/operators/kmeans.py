@@ -217,7 +217,19 @@ def train_kmeans(
     no full sort), then ``n_iter`` rounds of assign -> quantized update.
     Returns driver-side centroids (k * dim doubles — KBs)."""
     dim = dim if dim is not None else _infer_dim(df, vec_col)
-    v = _prep(df, id_col, vec_col, dim)
+    # staged: init + every Lloyd round is a separate driver action over v
+    # — unstaged, each re-runs the scan + projection (guide §1.2)
+    v = _prep(df, id_col, vec_col, dim).localCheckpoint(eager=False)
+    return _train_prepped(v, k, n_iter, scale_bits)
+
+
+def _train_prepped(
+    v: DataFrame, k: int, n_iter: int, scale_bits: int = 20
+) -> list[Centroid]:
+    """Lloyd's over an already-prepped (and ideally staged) (_id, _vec,
+    _norm) frame — shared by ``train_kmeans`` and ``semantic_dedup`` so
+    the latter reuses ONE staged projection for training AND the final
+    assignment."""
     init = v.orderBy("_id").limit(k).collect()
     cents = [
         Centroid(i, list(r["_vec"]), _seq_norm(r["_vec"])) for i, r in enumerate(init)
@@ -250,8 +262,10 @@ def semantic_dedup(
     from arroyo_spark.operators.similarity import _np_grid_dots, _np_stack
 
     dim = dim if dim is not None else _infer_dim(df, vec_col)
-    cents = train_kmeans(df, id_col, vec_col, k, n_iter, dim, scale_bits)
-    a = kmeans_assign(_prep(df, id_col, vec_col, dim), cents)
+    # ONE staged projection feeds training and the final assignment
+    v = _prep(df, id_col, vec_col, dim).localCheckpoint(eager=False)
+    cents = _train_prepped(v, k, n_iter, scale_bits)
+    a = kmeans_assign(v, cents)
     idt = dict(a.dtypes)["_id"]
     thr = float(threshold)
 

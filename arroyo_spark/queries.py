@@ -2195,14 +2195,16 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible (float means would differ in the last ulp per run)."""
     from arroyo_spark.operators.kmeans import (
         _prep,
+        _train_prepped,
         kmeans_assign,
         kmeans_update,
-        train_kmeans,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = train_kmeans(e, k=16, n_iter=1, dim=64)
-    upd = kmeans_update(kmeans_assign(_prep(e, "vec_id", "embedding", 64), cents))
+    # ONE staged projection feeds training and the returned update (r6)
+    v = _prep(e, "vec_id", "embedding", 64).localCheckpoint(eager=False)
+    cents = _train_prepped(v, k=16, n_iter=1)
+    upd = kmeans_update(kmeans_assign(v, cents))
     return upd.select(
         "cell", "pos", (F.col("qsum") / (F.lit(_KM_S) * F.col("n"))).alias("coord")
     )
