@@ -328,6 +328,30 @@ def hyperplane_sign_bucket(
     return F.expr(" + ".join(plane_term(p) for p in range(n_planes)))
 
 
+def _np_planes(n_planes: int, dim: int, seed: int):
+    """The ±1 hyperplane weight matrix (n_planes x dim) — the same
+    md5-derived constants ``hyperplane_sign_bucket`` bakes into SQL."""
+    import numpy as np
+
+    return np.array(
+        [[hyperplane_weight(seed, p, d) for d in range(dim)] for p in range(n_planes)]
+    )
+
+
+def _np_bucket(V, W):
+    """Sign-LSH bucket ids for a vector batch — the kernel twin of
+    ``hyperplane_sign_bucket``. Projections use the module's ordered
+    dimension-axis accumulation; the SQL plane term starts at e1*w1
+    rather than 0.0, but 0.0 + x is bit-identical except 0.0 + (-0.0)
+    = +0.0, and the only consumer is ``proj > 0`` where ±0.0 compare
+    equal — bucket decisions match the SQL expression exactly."""
+    import numpy as np
+
+    proj = _np_grid_dots(V, W)  # (n, n_planes)
+    weights = (1 << np.arange(W.shape[0], dtype=np.int64))[None, :]
+    return ((proj > 0) * weights).sum(axis=1).astype(np.int32)
+
+
 def _cap_buckets(
     b: DataFrame, max_bucket_size: int | None, *bucket_cols: str
 ) -> DataFrame:
@@ -397,11 +421,34 @@ def lsh_ann_topk(
     # (ADVICE r4 #4); inference stays as the fallback
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     idt = dict(df.dtypes)[id_col]
+    # r6: bucket ids come from the kernel (_np_bucket) instead of the
+    # n_planes*dim-term SQL expression — the giant expression tree cost
+    # ~0.4s of driver-side analysis/planning PER INSTANTIATION (measured
+    # flat across sf0.1 and sf1.0), which dominated the query at small
+    # scale. Same constants, same ordered projection, same bucket bits.
+    W = _np_planes(n_planes, dim, seed)
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["_vec"])
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "bucket": _np_bucket(V, W),
+                    "_vec": list(V),
+                }
+            )
+
     base = df.select(
-        F.col(id_col).alias("_id"),
-        hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
-    )
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec")
+    ).mapInPandas(bucketize, f"_id {idt}, bucket int, _vec array<double>")
+    # staged: the cap agg + anti-join probe both consume the kernel output
+    base = base.localCheckpoint(eager=False)
     base = _cap_buckets(base, max_bucket_size, "bucket")
     kk = int(k)
 
@@ -1038,34 +1085,38 @@ def lsh_ann_topk_multiband(
     v = with_norm(df, vec_col, dim).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("_id"), "_vec", "_norm"
     )
-    # staged once: the n_bands union branches + cap agg below would
-    # otherwise recompute with_norm's fold per consumer. No _spread here:
-    # the per-(band, bucket) group exchange right below already fans the
-    # work out (n_bands * 2^n_planes groups), and a forced repartition of
-    # the vector payload ahead of it measured ~1.7s slower at sf1.0.
-    v = v.localCheckpoint(eager=False)
     idt = dict(df.dtypes)[id_col]
-    # one bucket stream per band: band b's hyperplanes use seed+b, so the
-    # ±1 weight sets are independent md5 draws. A UNION of per-band
-    # projections, NOT posexplode(array(...)): stacking all n_bands
-    # statically-expanded bucket expressions (n_bands * n_planes * dim
-    # terms) into one Generate blows janino's 64KB method limit and drops
-    # the whole stage to interpreted eval — each union branch stays within
-    # codegen limits (measured: single 8x64 expression codegens fine).
-    buckets = reduce(
-        DataFrame.unionAll,
-        [
-            v.select(
-                "_id",
-                F.lit(b).alias("band"),
-                hyperplane_sign_bucket(F.col("_vec"), n_planes, dim=dim, seed=seed + b).alias(
-                    "bucket"
-                ),
-                "_vec",
-            )
-            for b in range(n_bands)
-        ],
+    # r6: ONE kernel pass computes every band's bucket (band b's ±1
+    # weights use seed+b — independent md5 draws) and emits the n_bands
+    # rows per vector directly — the n_bands unioned giant SQL bucket
+    # expressions (each ~0.4s of driver-side planning, see lsh_ann_topk)
+    # disappear along with their janino-limit workarounds.
+    Ws = [_np_planes(n_planes, dim, seed + b) for b in range(n_bands)]
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["_vec"])
+            ids = pdf["_id"].to_numpy()
+            for b, W in enumerate(Ws):
+                yield pd.DataFrame(
+                    {
+                        "_id": ids,
+                        "band": np.full(len(ids), b, dtype=np.int32),
+                        "bucket": _np_bucket(V, W),
+                        "_vec": list(V),
+                    }
+                )
+
+    buckets = v.select("_id", "_vec").mapInPandas(
+        bucketize, f"_id {idt}, band int, bucket int, _vec array<double>"
     )
+    # staged: cap agg + anti-join probe + group exchange all consume it
+    buckets = buckets.localCheckpoint(eager=False)
     buckets = _cap_buckets(buckets, max_bucket_size, "band", "bucket")
     kk = int(k)
 
@@ -1135,11 +1186,29 @@ def embedding_dup_pairs(
     # (ADVICE r4 #4); inference stays as the fallback
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     idt = dict(df.dtypes)[id_col]
+    # kernel bucket ids — see lsh_ann_topk (same planning-cost rationale)
+    W = _np_planes(n_planes, dim, seed)
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf["_vec"])
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "bucket": _np_bucket(V, W),
+                    "_vec": list(V),
+                }
+            )
+
     base = df.select(
-        F.col(id_col).alias("_id"),
-        hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=dim, seed=seed).alias("bucket"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
-    )
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_vec")
+    ).mapInPandas(bucketize, f"_id {idt}, bucket int, _vec array<double>")
+    base = base.localCheckpoint(eager=False)  # cap agg + probe both consume it
     base = _cap_buckets(base, max_bucket_size, "bucket")
     thr = float(threshold)
 

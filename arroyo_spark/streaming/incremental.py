@@ -228,27 +228,48 @@ def epoch_ann_transform(
     """
     from arroyo_spark.operators.similarity import (
         _infer_dim,
-        hyperplane_sign_bucket,
-        with_norm,
+        _np_bucket,
+        _np_norms,
+        _np_planes,
+        _np_stack,
     )
 
     # infer the (constant) dimension at most ONCE across epochs: _infer_dim
     # is a .first() driver job, and paying it per epoch is exactly the
     # serial fixed cost the epoch_cost_probe work drives down (ADVICE r4 #4)
-    _dim_cache = {"d": dim}
+    _dim_cache = {"d": dim, "W": None}
 
     def transform(batch_df: DataFrame) -> DataFrame:
+        import pandas as pd
+
         if _dim_cache["d"] is None:
             _dim_cache["d"] = _infer_dim(batch_df, vec_col)
         d = _dim_cache["d"]
-        v = with_norm(batch_df, vec_col, d)
-        return v.select(
-            F.col(id_col),
-            hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=d, seed=seed).alias(
-                "bucket"
-            ),
-            F.col("_vec").alias("vec"),
-            F.col("_norm").alias("norm"),
+        if _dim_cache["W"] is None:
+            _dim_cache["W"] = _np_planes(n_planes, d, seed)
+        W = _dim_cache["W"]
+        idt = dict(batch_df.dtypes)[id_col]
+
+        # r6: bucket + norm in one Arrow kernel — the n_planes*dim-term
+        # SQL bucket expression cost ~0.4s of driver-side planning PER
+        # EPOCH (see lsh_ann_topk); same constants, same ordered
+        # projection, same bits (similarity._np_bucket docstring)
+        def rows(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np_stack(pdf[vec_col])
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "bucket": _np_bucket(V, W),
+                        "vec": list(V),
+                        "norm": _np_norms(V),
+                    }
+                )
+
+        return batch_df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+            rows, f"{id_col} {idt}, bucket int, vec array<double>, norm double"
         )
 
     return transform
@@ -313,12 +334,12 @@ def ann_query_topk(
     from arroyo_spark.operators.similarity import (
         _cap_buckets,
         _infer_dim,
+        _np_bucket,
         _np_grid_dots,
         _np_norms,
+        _np_planes,
         _np_stack,
         _np_topk_rows,
-        hyperplane_sign_bucket,
-        with_norm,
     )
 
     d = dim if dim is not None else _infer_dim(queries_df, vec_col)
@@ -326,19 +347,36 @@ def ann_query_topk(
     nb = store.filter(F.col("norm") > 0).select(
         F.col(id_col).alias("_id"), "bucket", F.col("vec").alias("_vec"), F.col("norm").alias("_n")
     )
-    q = (
-        with_norm(queries_df, vec_col, d)
-        .filter(F.col("_norm") > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            hyperplane_sign_bucket(F.col(vec_col), n_planes, dim=d, seed=seed).alias(
-                "bucket"
-            ),
-            "_vec",
-            F.col("_norm").alias("_n"),
-        )
-    )
-    idt = dict(q.dtypes)["_id"]
+    W = _np_planes(n_planes, d, seed)
+    idt = dict(queries_df.dtypes)[id_col]
+
+    # query-side bucket + norm in one kernel (zero-norm queries excluded,
+    # as before); same constants/bits as the index side
+    def q_rows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_stack(pdf[vec_col])
+            nrm = _np_norms(V)
+            keep = nrm > 0
+            V, nrm = V[keep], nrm[keep]
+            ids = pdf[id_col].to_numpy()[keep]
+            if not len(ids):
+                continue
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "bucket": _np_bucket(V, W),
+                    "_vec": list(V),
+                    "_n": nrm,
+                }
+            )
+
+    q = queries_df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(q_rows, f"_id {idt}, bucket int, _vec array<double>, _n double")
     kk = int(k)
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
