@@ -382,12 +382,11 @@ def ngram_jaccard_pairs(
     shingle buckets — at corpus scale run it on LSH candidates, not all
     pairs (compose: minhash_candidates >> join >> this).
     """
-    # r6: per-doc distinct shingles from the Arrow-batched kernel (same
-    # row set as _shingle_rows().distinct(); the corpus-wide exchange and
-    # the interpreted tokenize/shingle HOFs both collapse into the map side)
-    sh = _distinct_shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
-        eager=False
-    )
+    # r6 note: the per-doc distinct-shingle kernel (used by span stats /
+    # decontamination) measured ~0.3s SLOWER here — this operator's
+    # shingle volume is small enough that the JVM explode+distinct wins,
+    # so it keeps the original path.
+    sh = _shingle_rows(df, id_col, text_col, shingle_n).distinct()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
