@@ -1036,7 +1036,10 @@ def sparse_cosine_topk(
     verifier); the ONE exchange carries (query_id, neighbor_id, partial
     int sums). cosine = dot_int / (sqrt(nsq_q)·sqrt(nsq_n)): the dot is
     an exact order-independent int64 sum (products of fixed-point entries
-    — overflow headroom: |w_int| < 2^31 gives Σ < 2^62/dim), the three
+    — overflow headroom: feature_hash_ints' runtime guard enforces
+    |w_int| < sqrt(2^62/dim), so Σ over dim products stays < 2^62; a
+    caller feeding vectors from another source must honor the same
+    bound), the three
     IEEE ops at the edge are correctly rounded with a fixed evaluation
     order — the DuckDB twin matches hash-exact. Ties rank by neighbor_id.
     """

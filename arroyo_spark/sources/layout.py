@@ -129,6 +129,13 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits_per_col: int = 8) -> Dat
     sketch re-executes the upstream derivation.
     """
     ncols = len(cols)
+    if bits_per_col * ncols > 63:  # ADVICE r5 #2: interleaved bits past the
+        # long's sign bit would yield negative _zkey values that silently
+        # scramble the sort order (locality lost, rows still correct)
+        raise ValueError(
+            f"zorder_key: bits_per_col({bits_per_col}) * len(cols)({ncols}) "
+            "> 63 overflows the int64 Morton key; lower bits_per_col"
+        )
     reserved = {"_zkey", *(f"_zb{j}" for j in range(ncols))}
     clash = reserved & set(df.columns)
     if clash:  # silent clobber-then-drop would vanish the caller's column
